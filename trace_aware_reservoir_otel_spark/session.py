@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what a 1000-executor cluster deployment would
+set per-executor: AQE on (runtime skew-join/coalesce), Arrow for every
+pandas UDF boundary, UTC session time so epoch arithmetic is portable to
+the DuckDB oracle, shuffle partitions sized to cores (not the 200 default,
+which thrashes small local runs and under-partitions big ones — on a real
+cluster this would be ~2-3x total cores or AQE-advisory driven).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "trace_aware_reservoir_otel_spark",
+    cores: "int | None" = None,
+    shuffle_partitions: "int | None" = None,
+    extra_conf: "dict | None" = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cores), 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
