@@ -80,6 +80,7 @@ class PipelineConfig:
     salt_buckets: int = 16
     weight_col: "str | None" = None
     method: str = "sql"
+    priority: str = "ares"  # 'ares' (weighted) | 'int' (exact, oracle-portable)
     checkpoint_units: int = 0
     run_id: str = "run-0"
     extra: dict = field(default_factory=dict)
@@ -95,6 +96,8 @@ class PipelineConfig:
             raise ValueError("salt_buckets must be positive")
         if self.method not in ("sql", "pandas"):
             raise ValueError(f"unknown method {self.method!r}")
+        if self.priority not in ("ares", "int"):
+            raise ValueError(f"unknown priority {self.priority!r}")
         if self.late_tolerance_s < 0:
             raise ValueError("late_tolerance_s must be >= 0")
 

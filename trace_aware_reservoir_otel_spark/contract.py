@@ -1,0 +1,716 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry maps one operator from SURVEY.md §2 (or a training-data-pipeline
+op) onto the driver's testdata tables. Queries are written once against a
+tiny dialect shim so the Spark plan and the DuckDB oracle compute
+*identical* values (the portable md5-priority scheme of SURVEY.md §7.5);
+sampling queries additionally exercise the real library operators and are
+mirrored by generated oracle SQL.
+
+Conventions (driver compares row count + schema + order-insensitive value
+hash, matching column names):
+ - every computed column is aliased identically on both sides;
+ - numeric outputs are exact (bigint / integer cents) wherever possible —
+   money sums as cents via round(x*100)::bigint, never float sums;
+ - timestamps leave as epoch-second bigints;
+ - top-k orderings use the exact 52-bit integer priority with full
+   tie-breaks, never floating point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trace_aware_reservoir_otel_spark.sources.tables import TABLES
+
+SEED = 42
+DAY = 86400
+K_SIMPLE = 50
+K_TRACE = 5
+CAP = 12
+SESSION_GAP_S = 3600
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+class Dialect:
+    """SQL fragments that differ between Spark SQL and DuckDB."""
+
+    def __init__(self, kind: str):
+        assert kind in ("spark", "duck")
+        self.kind = kind
+
+    # --- scalars -----------------------------------------------------------
+    def epoch_s(self, ts: str) -> str:
+        """Integer epoch seconds (truncating, both positive-time)."""
+        if self.kind == "spark":
+            return f"unix_timestamp({ts})"
+        return f"cast(floor(epoch({ts})) as bigint)"
+
+    def bucket(self, ts: str, width: int) -> str:
+        return f"cast(floor({self.epoch_s(ts)} / {width}) * {width} as bigint)"
+
+    def pbig(self, expr: str, seed: int = SEED) -> str:
+        """Portable 52-bit md5 priority (SURVEY.md §7.5)."""
+        inner = f"md5('{seed}:' || cast({expr} as {self.str_t()}))"
+        if self.kind == "spark":
+            return f"cast(conv(substring({inner}, 1, 13), 16, 10) as bigint)"
+        return f"cast('0x' || substr({inner}, 1, 13) as bigint)"
+
+    def str_t(self) -> str:
+        return "string" if self.kind == "spark" else "varchar"
+
+    def re_lit(self, pattern: str) -> str:
+        """A regex as a SQL string literal (Spark SQL processes escapes)."""
+        if self.kind == "spark":
+            return "'" + pattern.replace("\\", "\\\\") + "'"
+        return "'" + pattern + "'"
+
+    def regexp_count(self, s: str, pattern: str) -> str:
+        p = self.re_lit(pattern)
+        if self.kind == "spark":
+            return f"regexp_count({s}, {p})"
+        return f"len(regexp_extract_all({s}, {p}))"
+
+    def regexp_extract(self, s: str, pattern: str, group: int) -> str:
+        return f"regexp_extract({s}, {self.re_lit(pattern)}, {group})"
+
+    def ntokens(self, s: str) -> str:
+        split = (
+            f"size(split(trim({s}), {self.re_lit(chr(92) + 's+')}))"
+            if self.kind == "spark"
+            else f"len(regexp_split_to_array(trim({s}), {self.re_lit(chr(92) + 's+')}))"
+        )
+        return f"(case when length(trim({s})) = 0 then 0 else cast({split} as bigint) end)"
+
+    def explode_ints(self, lo: str, hi_incl: str, alias: str, col: str) -> str:
+        """FROM-clause fragment producing one row per int in [lo, hi]."""
+        if self.kind == "spark":
+            return f"lateral view explode(sequence({lo}, {hi_incl})) {alias}_t as {col}"
+        return f"cross join unnest(range({lo}, ({hi_incl}) + 1)) as {alias}_t({col})"
+
+    def cents(self, expr: str) -> str:
+        return f"cast(round(({expr}) * 100) as bigint)"
+
+
+SPARK = Dialect("spark")
+DUCK = Dialect("duck")
+
+
+# ---------------------------------------------------------------------------
+# Shared-logic SQL builders: build(d) returns the same query in dialect d.
+# ---------------------------------------------------------------------------
+
+def q_checkpoint_projection(d: Dialect) -> str:
+    # P5 (serialization.go:18-38): lossy fixed projection + epoch seconds
+    return f"""
+    select event_id,
+           user_id,
+           event_type,
+           {d.epoch_s('ts')} as ts_s
+    from events
+    """
+
+
+def q_invalid_filter(d: Dialect) -> str:
+    # P2 (trace_buffer.go:80-85): classify rows into keep/dlq, count per sink
+    return """
+    select case when event_type = 'error' then 'dlq' else 'keep' end as sink,
+           cast(count(*) as bigint) as n_rows,
+           cast(count(distinct user_id) as bigint) as n_users
+    from events
+    group by 1
+    """
+
+
+def q_row_identity(d: Dialect) -> str:
+    # P3 (span_utils.go:25-44): deterministic 52-bit row identity
+    return f"""
+    select event_id,
+           {d.pbig("cast(user_id as " + d.str_t() + ") || '#' || cast(event_id as " + d.str_t() + ")")} as row_h
+    from events
+    """
+
+
+def q_tumbling_window_count(d: Dialect) -> str:
+    # W1/A2 (window.go:69-71,108-122): per-window n
+    return f"""
+    select {d.bucket('ts', DAY)} as window_start_s,
+           cast(count(*) as bigint) as n_rows,
+           cast(count(distinct user_id) as bigint) as n_users
+    from events
+    group by 1
+    """
+
+
+def q_reservoir_simple(d: Dialect) -> str:
+    # A1 simple mode (reservoir.go:88-126): uniform k-sample of rows per
+    # window; exact integer priority, full tie-break
+    return f"""
+    with pri as (
+      select {d.bucket('ts', DAY)} as window_start_s,
+             event_id,
+             {d.pbig(f"{d.bucket('ts', DAY)} || ':' || cast(event_id as " + d.str_t() + ")")} as prio_int
+      from events
+    ), ranked as (
+      select *, row_number() over (
+               partition by window_start_s
+               order by prio_int desc, event_id asc) as rn
+      from pri
+    )
+    select window_start_s, event_id, prio_int
+    from ranked where rn <= {K_SIMPLE}
+    """
+
+
+def q_trace_aware_reservoir(d: Dialect) -> str:
+    # A1+A3 trace-aware (trace_buffer.go:78-141 + reservoir): per window,
+    # keep k whole "conversations" (user_id), emit every kept row
+    return f"""
+    with ev as (
+      select {d.bucket('ts', DAY)} as window_start_s, user_id, event_id
+      from events
+    ), units as (
+      select window_start_s, user_id,
+             {d.pbig("window_start_s || ':' || cast(user_id as " + d.str_t() + ")")} as prio_int
+      from ev
+      group by window_start_s, user_id
+    ), winners as (
+      select window_start_s, user_id
+      from (select *, row_number() over (
+                   partition by window_start_s
+                   order by prio_int desc, user_id asc) as rn
+            from units)
+      where rn <= {K_TRACE}
+    )
+    select ev.window_start_s, ev.user_id, ev.event_id
+    from ev join winners
+      on ev.window_start_s = winners.window_start_s
+     and ev.user_id = winners.user_id
+    """
+
+
+def q_capacity_overflow(d: Dialect) -> str:
+    # L2 (trace_buffer.go:107-110,201-240): deterministic capacity ranking;
+    # conversations beyond CAP route whole to overflow
+    return f"""
+    with units as (
+      select {d.bucket('ts', DAY)} as window_start_s,
+             user_id,
+             cast(count(*) as bigint) as n_events
+      from events
+      group by 1, 2
+    )
+    select window_start_s, user_id, n_events
+    from (select *, row_number() over (
+                 partition by window_start_s
+                 order by n_events desc, user_id asc) as rn
+          from units)
+    where rn > {CAP}
+    """
+
+
+def q_routing_counts(d: Dialect) -> str:
+    # A6 (metrics.go:47-142): per-window per-sink conservation counters
+    return f"""
+    with ev as (
+      select {d.bucket('ts', DAY)} as window_start_s, user_id, event_id
+      from events
+    ), units as (
+      select window_start_s, user_id,
+             {d.pbig("window_start_s || ':' || cast(user_id as " + d.str_t() + ")")} as prio_int
+      from ev
+      group by window_start_s, user_id
+    ), winners as (
+      select window_start_s, user_id
+      from (select *, row_number() over (
+                   partition by window_start_s
+                   order by prio_int desc, user_id asc) as rn
+            from units)
+      where rn <= {K_TRACE}
+    ), flagged as (
+      select ev.window_start_s,
+             case when winners.user_id is not null then 1 else 0 end as s
+      from ev left join winners
+        on ev.window_start_s = winners.window_start_s
+       and ev.user_id = winners.user_id
+    )
+    select window_start_s,
+           cast(count(*) as bigint) as rows_total,
+           cast(sum(s) as bigint) as rows_sampled,
+           cast(count(*) - sum(s) as bigint) as rows_overflow
+    from flagged
+    group by window_start_s
+    """
+
+
+def q_session_window(d: Dialect) -> str:
+    # A4 (trace_buffer.go:144-185): inactivity-gap sessionization per user
+    return f"""
+    with ordered as (
+      select user_id, ts, event_id,
+             {d.epoch_s('ts')} as ts_s,
+             lag({d.epoch_s('ts')}) over (
+               partition by user_id order by ts, event_id) as prev_s
+      from events
+    ), marked as (
+      select user_id, ts, event_id, ts_s,
+             case when prev_s is null or ts_s - prev_s > {SESSION_GAP_S}
+                  then 1 else 0 end as new_sess
+      from ordered
+    ), sess as (
+      select user_id, ts_s,
+             sum(new_sess) over (
+               partition by user_id order by ts, event_id
+               rows between unbounded preceding and current row) as sess_id
+      from marked
+    )
+    select user_id,
+           cast(count(distinct sess_id) as bigint) as n_sessions,
+           cast(max(cnt) as bigint) as max_session_events
+    from (select user_id, sess_id, count(*) as cnt
+          from sess group by user_id, sess_id)
+    group by user_id
+    """
+
+
+def q_dedup_upsert(d: Dialect) -> str:
+    # A7 (reservoir.go:137): distinct-by-key, latest wins
+    return """
+    select user_id, event_type, event_id
+    from (select user_id, event_type, event_id,
+                 row_number() over (
+                   partition by user_id, event_type
+                   order by ts desc, event_id desc) as rn
+          from events)
+    where rn = 1
+    """
+
+
+def q_root_turn(d: Dialect) -> str:
+    # P4 (span_utils.go:50-52): the root span / first turn per trace
+    return f"""
+    select user_id, event_id, {d.epoch_s('ts')} as ts_s
+    from (select user_id, event_id, ts,
+                 row_number() over (
+                   partition by user_id order by ts asc, event_id asc) as rn
+          from events)
+    where rn = 1
+    """
+
+
+def q_union_completed(d: Dialect) -> str:
+    # §2.7: union of two routed subsets re-fed through one path
+    return """
+    select event_type, cast(count(*) as bigint) as n_rows
+    from (
+      select event_id, event_type from events where event_type = 'purchase'
+      union
+      select event_id, event_type from events where event_type = 'error'
+    )
+    group by event_type
+    """
+
+
+def q_parse_props(d: Dialect) -> str:
+    # F7 north-star: vectorized regex field extraction from a text payload
+    ext = d.regexp_extract("props", '"k": (\\d+)', 1)
+    return f"""
+    select event_id,
+           cast({ext} as bigint) as k_val
+    from events
+    """
+
+
+def q_enrich_broadcast(d: Dialect) -> str:
+    # §2.3 north-star broadcast dim enrichment (dim inline on both sides)
+    return f"""
+    with dim as (
+      select 'click' as event_type, 'interaction' as kind
+      union all select 'view', 'interaction'
+      union all select 'purchase', 'conversion'
+      union all select 'signup', 'conversion'
+    )
+    select coalesce(dim.kind, 'other') as kind,
+           cast(count(*) as bigint) as n_rows,
+           cast(sum({d.cents('value')}) as bigint) as value_cents
+    from events left join dim on events.event_type = dim.event_type
+    group by 1
+    """
+
+
+# --- TPC-H-flavored relational coverage ------------------------------------
+
+def q_pricing_summary(d: Dialect) -> str:
+    # TPC-H Q1 shape over lineitem; exact integer cents
+    return f"""
+    select l_returnflag, l_linestatus,
+           cast(sum({d.cents('l_quantity')}) as bigint) as sum_qty_c,
+           cast(sum({d.cents('l_extendedprice')}) as bigint) as sum_base_c,
+           cast(sum({d.cents('l_extendedprice * (1 - l_discount)')}) as bigint) as sum_disc_c,
+           cast(count(*) as bigint) as n_rows
+    from lineitem
+    where l_shipdate <= date '1998-09-02'
+    group by l_returnflag, l_linestatus
+    """
+
+
+def q_top_revenue_orders(d: Dialect) -> str:
+    # TPC-H Q3 shape: join + agg + deterministic top-10
+    return f"""
+    with rev as (
+      select o.o_orderkey,
+             {d.epoch_s('o.o_orderdate')} as o_orderdate_s,
+             cast(sum({d.cents('l.l_extendedprice * (1 - l.l_discount)')}) as bigint) as revenue_c
+      from customer c
+      join orders o on c.c_custkey = o.o_custkey
+      join lineitem l on l.l_orderkey = o.o_orderkey
+      where c.c_mktsegment = 'BUILDING'
+      group by o.o_orderkey, o.o_orderdate
+    )
+    select o_orderkey, o_orderdate_s, revenue_c
+    from rev
+    order by revenue_c desc, o_orderkey asc
+    limit 10
+    """
+
+
+def q_nation_revenue(d: Dialect) -> str:
+    # TPC-H Q5 shape: multi-join star traversal
+    return f"""
+    select n.n_name,
+           cast(sum({d.cents('l.l_extendedprice * (1 - l.l_discount)')}) as bigint) as revenue_c,
+           cast(count(*) as bigint) as n_rows
+    from region r
+    join nation n on n.n_regionkey = r.r_regionkey
+    join customer c on c.c_nationkey = n.n_nationkey
+    join orders o on o.o_custkey = c.c_custkey
+    join lineitem l on l.l_orderkey = o.o_orderkey
+    where r.r_name = 'ASIA'
+    group by n.n_name
+    """
+
+
+def q_top_order_per_customer(d: Dialect) -> str:
+    # analytic-window coverage: per-group top-1 with tie-breaks
+    return f"""
+    select o_custkey, o_orderkey, {d.cents('o_totalprice')} as total_c
+    from (select o_custkey, o_orderkey, o_totalprice,
+                 row_number() over (
+                   partition by o_custkey
+                   order by o_totalprice desc, o_orderkey asc) as rn
+          from orders)
+    where rn = 1
+    """
+
+
+def q_part_type_stats(d: Dialect) -> str:
+    return f"""
+    select p_type,
+           cast(count(*) as bigint) as n_parts,
+           cast(sum({d.cents('p_retailprice')}) as bigint) as retail_c,
+           cast(max(p_size) as bigint) as max_size
+    from part
+    group by p_type
+    """
+
+
+# --- documents: text analysis / dedup ---------------------------------------
+
+def q_token_count(d: Dialect) -> str:
+    return f"""
+    select doc_id,
+           {d.ntokens('text')} as n_tokens,
+           cast(length(text) as bigint) as n_chars_m
+    from documents
+    """
+
+
+def q_lang_stopword(d: Dialect) -> str:
+    # n-gram/stopword language-ID heuristic: integer arithmetic only
+    hits = d.regexp_count("(' ' || text || ' ')", r"\b(the|a|of|and|to|in|is)\b")
+    return f"""
+    select doc_id,
+           cast({hits} as bigint) as sw_hits,
+           {d.ntokens('text')} as n_tokens,
+           (case when cast({hits} as bigint) * 12 >= {d.ntokens('text')}
+                 then 'en_like' else 'other' end) as lang_pred
+    from documents
+    """
+
+
+def q_quality_score(d: Dialect) -> str:
+    nt = d.ntokens("text")
+    return f"""
+    select doc_id,
+           cast(length(text) as bigint) as n_chars_m,
+           {nt} as n_tokens,
+           (case when {nt} = 0 then 0
+                 else cast(round(100.0 * length(replace(text, ' ', '')) / {nt}) as bigint)
+            end) as avg_token_len_x100
+    from documents
+    """
+
+
+def q_dedup_exact(d: Dialect) -> str:
+    # exact dedup by content hash; survivor = min doc_id
+    return """
+    select md5(text) as text_h,
+           cast(min(doc_id) as bigint) as survivor_doc_id,
+           cast(count(*) as bigint) as n_copies
+    from documents
+    group by md5(text)
+    """
+
+
+def q_doc_fingerprint(d: Dialect) -> str:
+    # rolling-hash fingerprint: min hash over 8-char grams (winnowing-lite)
+    return f"""
+    with grams as (
+      select doc_id,
+             {d.pbig('substr(text, i, 8)')} as gh
+      from documents
+      {d.explode_ints('1', 'greatest(length(text) - 7, 1)', 'g', 'i')}
+    )
+    select doc_id, min(gh) as fingerprint
+    from grams
+    group by doc_id
+    """
+
+
+QUERY_BUILDERS: "dict[str, Callable[[Dialect], str]]" = {
+    "checkpoint_projection": q_checkpoint_projection,
+    "invalid_filter": q_invalid_filter,
+    "row_identity": q_row_identity,
+    "tumbling_window_count": q_tumbling_window_count,
+    "reservoir_simple": q_reservoir_simple,
+    "trace_aware_reservoir": q_trace_aware_reservoir,
+    "capacity_overflow": q_capacity_overflow,
+    "routing_counts": q_routing_counts,
+    "session_window": q_session_window,
+    "dedup_upsert": q_dedup_upsert,
+    "root_turn": q_root_turn,
+    "union_completed": q_union_completed,
+    "parse_props": q_parse_props,
+    "enrich_broadcast": q_enrich_broadcast,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "nation_revenue": q_nation_revenue,
+    "top_order_per_customer": q_top_order_per_customer,
+    "part_type_stats": q_part_type_stats,
+    "token_count": q_token_count,
+    "lang_stopword": q_lang_stopword,
+    "quality_score": q_quality_score,
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+
+def _mk_query(builder: Callable[[Dialect], str]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir)
+        return spark.sql(builder(SPARK))
+
+    return run
+
+
+def contract_queries() -> "dict[str, Callable[[SparkSession, str], DataFrame]]":
+    out = {name: _mk_query(b) for name, b in QUERY_BUILDERS.items()}
+    out.update(_library_queries())
+    return out
+
+
+def contract_oracles() -> "dict[str, str]":
+    out = {name: b(DUCK) for name, b in QUERY_BUILDERS.items()}
+    out.update(_library_oracles())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Library-operator queries: the Spark side runs the real engine code
+# (reservoir/pipeline modules); the oracle replays the semantics in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _q_lib_reservoir_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.operators.reservoir import sample_rows
+    from trace_aware_reservoir_otel_spark.operators.windows import with_tumbling_window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = with_tumbling_window(ev, "ts", DAY)
+    got = sample_rows(
+        win, K_SIMPLE, key_cols=["event_id"], seed=SEED, priority="int", salt_buckets=8
+    )
+    return got.select(
+        "window_start_s", "event_id", F.col("prio_int").alias("prio_int")
+    )
+
+
+def _q_lib_trace_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.operators.reservoir import sample_conversations
+    from trace_aware_reservoir_otel_spark.operators.windows import with_tumbling_window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "conv_id", F.col("user_id").cast("string")
+    )
+    win = with_tumbling_window(ev, "ts", DAY)
+    flagged, _ = sample_conversations(
+        win, K_TRACE, seed=SEED, priority="int", salt_buckets=8
+    )
+    return flagged.filter(F.col("sampled")).select(
+        "window_start_s",
+        F.col("conv_id").cast("long").alias("user_id"),
+        "event_id",
+    )
+
+
+def _oracle_lib_reservoir_events() -> str:
+    d = DUCK
+    return f"""
+    with pri as (
+      select {d.bucket('ts', DAY)} as window_start_s,
+             event_id,
+             {d.pbig("{b} || ':' || cast(event_id as varchar)".format(b=d.bucket('ts', DAY)))} as prio_int
+      from events
+    )
+    select window_start_s, event_id, prio_int
+    from (select *, row_number() over (
+                 partition by window_start_s
+                 order by prio_int desc, cast(event_id as varchar) asc) as rn
+          from pri)
+    where rn <= {K_SIMPLE}
+    """
+
+
+def _oracle_lib_trace_sample_events() -> str:
+    d = DUCK
+    return f"""
+    with ev as (
+      select {d.bucket('ts', DAY)} as window_start_s,
+             cast(user_id as varchar) as conv_id,
+             user_id, event_id
+      from events
+    ), units as (
+      select window_start_s, conv_id, user_id,
+             {d.pbig("window_start_s || ':' || conv_id")} as prio_int
+      from ev group by window_start_s, conv_id, user_id
+    ), winners as (
+      select window_start_s, conv_id
+      from (select *, row_number() over (
+                   partition by window_start_s
+                   order by prio_int desc, conv_id asc) as rn
+            from units)
+      where rn <= {K_TRACE}
+    )
+    select ev.window_start_s, ev.user_id, ev.event_id
+    from ev join winners
+      on ev.window_start_s = winners.window_start_s
+     and ev.conv_id = winners.conv_id
+    """
+
+
+def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full flagship pipeline (parse -> enrich -> window -> sample ->
+    route) over transcripts derived from the driver's events table, checked
+    end-to-end against a pure-SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.config import PipelineConfig
+    from trace_aware_reservoir_otel_spark.plans.pipeline import run_pipeline
+    from trace_aware_reservoir_otel_spark.sources.tables import transcripts_from_events
+
+    tr = transcripts_from_events(spark, sf_dir)
+    cfg = PipelineConfig(
+        size_k=K_TRACE,
+        window_duration_s=DAY,
+        seed=SEED,
+        priority="int",
+        late_tolerance_s=10 * DAY,
+    )
+    res = run_pipeline(tr, cfg)
+    return res.sampled_traces.select(
+        "conv_id",
+        "turn_idx",
+        "window_start_s",
+        "role",
+        "tool",
+        "role_kind",
+        "p_tool",
+        "p_dur_ms",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "text",
+    )
+
+
+def _oracle_flagship() -> str:
+    d = DUCK
+    pat = r"<tool_call name=(\w+) dur_ms=(\d+)> trace=([0-9a-f]{16}) span=([0-9a-f]{8})"
+    return f"""
+    with tr as (
+      select 'conv-' || cast(user_id as varchar) as conv_id,
+             cast(row_number() over (
+               partition by user_id order by ts, event_id) - 1 as int) as turn_idx,
+             case when event_type in ('click', 'view') then 'user'
+                  when event_type in ('purchase', 'signup') then 'assistant'
+                  else 'tool' end as role,
+             case when event_type in ('purchase', 'signup', 'error')
+                  then event_type end as tool,
+             case when event_type in ('purchase', 'signup', 'error')
+                  then 'event ' || event_type || ' ' || props
+                       || ' <tool_call name=' || event_type
+                       || ' dur_ms=' || cast(cast(floor(value * 10) as bigint) as varchar)
+                       || '> trace=' || substr(md5('ev:' || cast(event_id as varchar)), 1, 16)
+                       || ' span=' || substr(md5('ev:' || cast(event_id as varchar)), 17, 8)
+                  else 'event ' || event_type || ' ' || props end as text,
+             ts
+      from events
+    ), w as (
+      select *, {d.bucket('ts', DAY)} as window_start_s from tr
+    ), units as (
+      select window_start_s, conv_id,
+             {d.pbig("window_start_s || ':' || conv_id")} as prio_int
+      from w group by window_start_s, conv_id
+    ), winners as (
+      select window_start_s, conv_id
+      from (select *, row_number() over (
+                   partition by window_start_s
+                   order by prio_int desc, conv_id asc) as rn
+            from units)
+      where rn <= {K_TRACE}
+    )
+    select w.conv_id, w.turn_idx, w.window_start_s, w.role, w.tool,
+           case w.role when 'user' then 'human' when 'assistant' then 'model'
+                when 'system' then 'control' when 'tool' then 'machine' end as role_kind,
+           nullif(regexp_extract(w.text, '{pat}', 1), '') as p_tool,
+           cast(nullif(regexp_extract(w.text, '{pat}', 2), '') as bigint) as p_dur_ms,
+           {d.epoch_s('w.ts')} as ts_s,
+           w.text
+    from w join winners
+      on w.window_start_s = winners.window_start_s
+     and w.conv_id = winners.conv_id
+    """
+
+
+def _library_queries():
+    return {
+        "lib_reservoir_events": _q_lib_reservoir_events,
+        "lib_trace_sample_events": _q_lib_trace_sample_events,
+        "flagship_pipeline": _q_flagship,
+    }
+
+
+def _library_oracles():
+    return {
+        "lib_reservoir_events": _oracle_lib_reservoir_events(),
+        "lib_trace_sample_events": _oracle_lib_trace_sample_events(),
+        "flagship_pipeline": _oracle_flagship(),
+    }

@@ -40,7 +40,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
-from trace_aware_reservoir_otel_spark.functions.hashing import ares_key
+from trace_aware_reservoir_otel_spark.functions.hashing import ares_key, pbig
 
 
 def conversation_units(
@@ -63,13 +63,28 @@ def conversation_units(
         F.col(window_col).cast("string"), F.lit(":"), F.col(conv_col).cast("string")
     )
     w = F.col("_w") if weight_col is not None else None
-    units = units.withColumn("ares_key", ares_key(prio_key, seed, w))
+    units = units.withColumn("ares_key", ares_key(prio_key, seed, w)).withColumn(
+        "prio_int", pbig(prio_key, seed)
+    )
     return units.drop("_w") if weight_col is not None else units
 
 
-def _phase1_sql(units: DataFrame, k: int, window_col: str, conv_col: str, salt_buckets: int) -> DataFrame:
+def _order_cols(priority: str, conv_col: str):
+    # 'ares': weighted A-Res key, keep smallest (general case).
+    # 'int' : raw 52-bit integer priority, keep largest — identical
+    #         inclusion law for uniform weights but exact (no
+    #         transcendentals), used by DuckDB-oracle-checked contract
+    #         queries (SURVEY.md §7.5).
+    if priority == "ares":
+        return [F.col("ares_key").asc(), F.col(conv_col).asc()]
+    if priority == "int":
+        return [F.col("prio_int").desc(), F.col(conv_col).asc()]
+    raise ValueError(f"unknown priority mode {priority!r}")
+
+
+def _phase1_sql(units, k, window_col, conv_col, salt_buckets, priority):
     salted = units.withColumn("_salt", F.pmod(F.xxhash64(F.col(conv_col)), F.lit(salt_buckets)))
-    w1 = W.partitionBy(window_col, "_salt").orderBy(F.col("ares_key").asc(), F.col(conv_col).asc())
+    w1 = W.partitionBy(window_col, "_salt").orderBy(*_order_cols(priority, conv_col))
     return (
         salted.withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") <= k)
@@ -77,14 +92,19 @@ def _phase1_sql(units: DataFrame, k: int, window_col: str, conv_col: str, salt_b
     )
 
 
-def _phase1_pandas(units: DataFrame, k: int, window_col: str, conv_col: str, salt_buckets: int) -> DataFrame:
+def _phase1_pandas(units, k, window_col, conv_col, salt_buckets, priority):
     salted = units.withColumn("_salt", F.pmod(F.xxhash64(F.col(conv_col)), F.lit(salt_buckets)))
     out_schema = units.schema
+    by, asc = (
+        (["ares_key", conv_col], [True, True])
+        if priority == "ares"
+        else (["prio_int", conv_col], [False, True])
+    )
 
     def partial_reservoir(pdf: pd.DataFrame) -> pd.DataFrame:
-        # per-(window, salt) partial reservoir: keep the k smallest A-Res
-        # keys; deterministic tie-break on the conversation id.
-        kept = pdf.sort_values(["ares_key", conv_col], kind="mergesort").head(k)
+        # per-(window, salt) partial reservoir: keep the k best priorities;
+        # deterministic tie-break on the conversation id.
+        kept = pdf.sort_values(by, ascending=asc, kind="mergesort").head(k)
         return kept.drop(columns=["_salt"])
 
     return salted.groupBy(window_col, "_salt").applyInPandas(partial_reservoir, schema=out_schema)
@@ -97,11 +117,12 @@ def topk_units(
     conv_col: str = "conv_id",
     salt_buckets: int = 16,
     method: str = "sql",
+    priority: str = "ares",
 ) -> DataFrame:
     """Two-phase deterministic top-k: salted partials, then global merge."""
     phase1 = _phase1_sql if method == "sql" else _phase1_pandas
-    candidates = phase1(units, k, window_col, conv_col, salt_buckets)
-    w2 = W.partitionBy(window_col).orderBy(F.col("ares_key").asc(), F.col(conv_col).asc())
+    candidates = phase1(units, k, window_col, conv_col, salt_buckets, priority)
+    w2 = W.partitionBy(window_col).orderBy(*_order_cols(priority, conv_col))
     return (
         candidates.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
@@ -119,6 +140,7 @@ def sample_conversations(
     salt_buckets: int = 16,
     method: str = "sql",
     broadcast_winners: bool = True,
+    priority: str = "ares",
 ) -> "tuple[DataFrame, DataFrame]":
     """Conversation-atomic reservoir: returns (turns_with_flag, winners).
 
@@ -127,7 +149,7 @@ def sample_conversations(
     dropped (all-or-nothing, trace_buffer.go semantics / FIXTURES.md §4).
     """
     units = conversation_units(df, window_col, conv_col, weight_col, seed)
-    winners = topk_units(units, k, window_col, conv_col, salt_buckets, method)
+    winners = topk_units(units, k, window_col, conv_col, salt_buckets, method, priority)
     win_small = winners.select(window_col, conv_col, "ares_key")
     if broadcast_winners:
         win_small = F.broadcast(win_small)
@@ -148,6 +170,7 @@ def sample_rows(
     seed: int = 42,
     salt_buckets: int = 16,
     method: str = "sql",
+    priority: str = "ares",
 ) -> DataFrame:
     """Simple (non-trace-aware) per-window row reservoir
     (processor.go:265-288 consumeTracesSimple analog): the unit IS the row.
@@ -155,5 +178,9 @@ def sample_rows(
     key = F.concat_ws("#", *[F.col(c).cast("string") for c in key_cols])
     prio_key = F.concat(F.col(window_col).cast("string"), F.lit(":"), key)
     w = F.col(weight_col) if weight_col else None
-    with_key = df.withColumn("_unit", key).withColumn("ares_key", ares_key(prio_key, seed, w))
-    return topk_units(with_key, k, window_col, "_unit", salt_buckets, method).drop("_unit")
+    with_key = (
+        df.withColumn("_unit", key)
+        .withColumn("ares_key", ares_key(prio_key, seed, w))
+        .withColumn("prio_int", pbig(prio_key, seed))
+    )
+    return topk_units(with_key, k, window_col, "_unit", salt_buckets, method, priority).drop("_unit")

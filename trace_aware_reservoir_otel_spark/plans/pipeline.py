@@ -99,7 +99,7 @@ def run_pipeline(
     if cfg.trace_aware:
         winners = topk_units(
             kept_units, cfg.size_k, "window_start_s", "conv_id",
-            cfg.salt_buckets, cfg.method,
+            cfg.salt_buckets, cfg.method, cfg.priority,
         )
         win_keys = F.broadcast(winners.select("window_start_s", "conv_id"))
         sampled = kept.join(win_keys, on=["window_start_s", "conv_id"], how="left_semi")
@@ -107,7 +107,7 @@ def run_pipeline(
     else:
         winners = sample_rows(
             kept, cfg.size_k, ["conv_id", "turn_idx"], "window_start_s",
-            cfg.weight_col, cfg.seed, cfg.salt_buckets, cfg.method,
+            cfg.weight_col, cfg.seed, cfg.salt_buckets, cfg.method, cfg.priority,
         )
         win_keys = F.broadcast(
             winners.select("window_start_s", "conv_id", "turn_idx")

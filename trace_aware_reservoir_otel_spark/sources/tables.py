@@ -49,7 +49,9 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tool = F.when(
         F.col("event_type").isin("purchase", "signup", "error"), F.col("event_type")
     )
-    dur = (F.col("value") * 10).cast("long")
+    # floor, not cast: Spark's double->long cast truncates while DuckDB's
+    # rounds — floor() is identical in both (oracle parity)
+    dur = F.floor(F.col("value") * 10).cast("long")
     hexsrc = F.md5(F.concat(F.lit("ev:"), F.col("event_id").cast("string")))
     text = F.when(
         tool.isNotNull(),
