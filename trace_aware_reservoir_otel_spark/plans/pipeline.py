@@ -8,46 +8,53 @@ re-expression of the reference's hot path ConsumeTraces
       -> parse tool-call fields   (F7, vectorized regex — JVM codegen)
       -> broadcast enrich dims    (§2.3 — zero fact-side shuffle)
       -> tumbling window          (W1 — pure column arithmetic)
-      -> conversation-start join  (session semantics for late detection)
-      -> conv units + capacity    (A3/L2)
+      -> unit-level session state (A3: conv starts, late units)
+      -> conv units + capacity    (L2)
       -> A-Res reservoir winners  (A1, two-phase salted merge)
       -> ONE routed frame with a `sink` column:
            dlq(invalid_key) | dlq(late) | overflow(capacity)
            | sampled_traces | overflow(unsampled)
 
-Routing produces a SINGLE frame so all three sinks materialize in ONE pass
-(write partitioned by sink/window) instead of three scans with semi/anti
-joins — at 100 TB that is the difference between one shuffle-free scan and
-three.
+Scale architecture — THE FACT TABLE IS NEVER SHUFFLED:
+ - all conversation-level state (first-turn timestamp, per-(window,conv)
+   row counts/weights) is computed by *aggregating* the fact down to
+   (window, conv) units: map-side partial aggregation absorbs
+   mega-conversation skew, and only the 10^-3-smaller unit relation is
+   ever exchanged;
+ - lateness (ts more than late_tolerance_s before the conversation's first
+   turn) is decided per UNIT: with window_width << tolerance a unit is
+   entirely late / entirely on-time unless the cutoff falls inside its
+   window — only those rare boundary units get a row-level check, via a
+   broadcast of (window, conv, cutoff);
+ - sampling winners (<= k per window) and capacity evictions are
+   conv-level sets broadcast back to the fact;
+ - so the final routed pass is scan -> broadcast joins -> column
+   expressions: shuffle-free, whole-stage-codegen, skew-immune.
 
-Shuffle inventory (what survives a 1000-executor run):
- - conv_starts: two-level aggregation — per-(window,conv) partial agg
-   (map-side combine absorbs mega-conversation skew) then tiny conv-level
-   merge; the raw fact is aggregated, never row-shuffled;
- - the fact<-conv_starts join for per-row late flags: the one inherent
-   shuffle of session semantics (AQE skew-join handles hot conversations);
-   disabled entirely when cfg.late_tolerance_s is None;
- - winners/capacity keys: conv-level two-phase top-k (bounded), broadcast
-   back to the fact — the fact table is never shuffled for sampling.
+Routing produces a SINGLE frame so all three sinks materialize in ONE
+write partitioned by (sink, window) instead of three scans.
+
+Assumption to re-check at extreme scale: the late/boundary unit set is
+small enough to broadcast (it scales with the *late-data rate*, not the
+data size). If a workload has pathological late fractions, set
+cfg.extra["late_strategy"]="shuffle" to fall back to a conv_starts
+shuffle join (AQE skew-join handles hot conversations).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from trace_aware_reservoir_otel_spark.config import PipelineConfig
+from trace_aware_reservoir_otel_spark.functions.hashing import ares_key, pbig
 from trace_aware_reservoir_otel_spark.functions.parse import (
     with_parsed_fields,
     with_parsed_fields_pandas,
 )
 from trace_aware_reservoir_otel_spark.operators.enrich import enrich
-from trace_aware_reservoir_otel_spark.operators.reservoir import (
-    conversation_units,
-    sample_rows,
-    topk_units,
-)
+from trace_aware_reservoir_otel_spark.operators.reservoir import sample_rows, topk_units
 from trace_aware_reservoir_otel_spark.operators.windows import with_tumbling_window
 
 
@@ -61,16 +68,96 @@ class PipelineResult:
     winners: DataFrame  # conv-level (window, conv_id, priorities) for state
 
 
-def _conv_starts(valid: DataFrame) -> DataFrame:
-    """Per-conversation first-turn timestamp via two-level aggregation
-    (never shuffles fact rows: partial agg to (window, conv), then conv)."""
-    pre = valid.groupBy("window_start_s", "conv_id").agg(
-        F.min("turn_idx").alias("_win_min_turn"),
-        F.min_by("ts", "turn_idx").alias("_win_min_ts"),
+def _with_unit_priorities(units: DataFrame, cfg: PipelineConfig, weighted: bool) -> DataFrame:
+    prio_key = F.concat(
+        F.col("window_start_s").cast("string"), F.lit(":"), F.col("conv_id")
     )
-    return pre.groupBy("conv_id").agg(
-        F.min_by("_win_min_ts", "_win_min_turn").alias("_conv_start_ts")
+    w = F.col("_w") if weighted else None
+    return units.withColumn("ares_key", ares_key(prio_key, cfg.seed, w)).withColumn(
+        "prio_int", pbig(prio_key, cfg.seed)
     )
+
+
+def _build_units_and_late(
+    valid: DataFrame, cfg: PipelineConfig
+) -> "tuple[DataFrame, DataFrame | None]":
+    """Aggregate the fact to (window, conv) units and classify lateness.
+
+    Returns (units, late_units):
+      units      : on-time (window, conv, n_turns[, _w]) with priorities —
+                   the reservoir's sampling population;
+      late_units : (window, conv, status, cutoff_s) for all-late/boundary
+                   units, or None when late detection is disabled.
+    """
+    weighted = cfg.weight_col is not None
+    aggs = [
+        F.count(F.lit(1)).alias("n_all"),
+        F.min(F.unix_timestamp("ts")).alias("min_ts_s"),
+        F.max(F.unix_timestamp("ts")).alias("max_ts_s"),
+        F.min("turn_idx").alias("min_turn"),
+        F.min_by(F.unix_timestamp("ts"), "turn_idx").alias("ts_of_min_turn"),
+    ]
+    if weighted:
+        aggs.append(F.max(F.col(cfg.weight_col).cast("double")).alias("_w"))
+    pre = valid.groupBy("window_start_s", "conv_id").agg(*aggs)
+
+    if cfg.late_tolerance_s is None:
+        units = pre.select(
+            "window_start_s",
+            "conv_id",
+            F.col("n_all").cast("long").alias("n_turns"),
+            *(["_w"] if weighted else []),
+        )
+        return _with_unit_priorities(units, cfg, weighted), None
+
+    # conversation start = ts of the globally-minimal turn_idx (root turn),
+    # derived from unit partials — never re-scans or shuffles fact rows
+    starts = pre.groupBy("conv_id").agg(
+        F.min_by("ts_of_min_turn", "min_turn").alias("conv_start_s")
+    )
+    # unit-level frame, persisted: both the sampling population and the
+    # late-unit set derive from it — one fact scan total
+    flagged = (
+        pre.join(starts, on="conv_id", how="left")
+        .withColumn(
+            "cutoff_s", F.col("conv_start_s") - F.lit(float(cfg.late_tolerance_s))
+        )
+        .persist()
+    )
+    status = (
+        F.when(F.col("max_ts_s") < F.col("cutoff_s"), F.lit("all_late"))
+        .when(F.col("min_ts_s") >= F.col("cutoff_s"), F.lit("on_time"))
+        .otherwise(F.lit("boundary"))
+    )
+    flagged = flagged.withColumn("status", status)
+
+    late_units = flagged.filter(F.col("status") != "on_time").select(
+        "window_start_s", "conv_id", "status", "cutoff_s"
+    )
+
+    on_units = flagged.filter(F.col("status") == "on_time").select(
+        "window_start_s",
+        "conv_id",
+        F.col("n_all").cast("long").alias("n_turns"),
+        *(["_w"] if weighted else []),
+    )
+    # boundary units: exact on-time stats from the (tiny) affected row set
+    boundary = late_units.filter(F.col("status") == "boundary")
+    fix_aggs = [F.count(F.lit(1)).cast("long").alias("n_turns")]
+    if weighted:
+        fix_aggs.append(F.max(F.col(cfg.weight_col).cast("double")).alias("_w"))
+    boundary_fix = (
+        valid.join(
+            F.broadcast(boundary.select("window_start_s", "conv_id", "cutoff_s")),
+            on=["window_start_s", "conv_id"],
+            how="inner",
+        )
+        .filter(F.unix_timestamp("ts") >= F.col("cutoff_s"))
+        .groupBy("window_start_s", "conv_id")
+        .agg(*fix_aggs)
+    )
+    units = on_units.unionByName(boundary_fix)
+    return _with_unit_priorities(units, cfg, weighted), late_units
 
 
 def build_routed(
@@ -89,31 +176,18 @@ def build_routed(
     invalid = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
     valid = windowed.filter(~invalid)
 
-    if cfg.late_tolerance_s is not None:
-        starts = _conv_starts(valid)
-        flagged = windowed.join(starts, on="conv_id", how="left")
-        late = (
-            F.col("_conv_start_ts").isNotNull()
-            & (
-                F.unix_timestamp("ts")
-                < F.unix_timestamp("_conv_start_ts") - F.lit(float(cfg.late_tolerance_s))
-            )
-        )
-    else:
-        flagged = windowed
-        late = F.lit(False)
-
-    on_time = flagged.filter(~invalid & ~late)
-
-    units = conversation_units(
-        on_time, "window_start_s", "conv_id", cfg.weight_col, cfg.seed
-    )
+    units, late_units = _build_units_and_late(valid, cfg)
+    # units/late_units are conv-level (orders of magnitude smaller than the
+    # fact) and are consumed by several broadcast subplans — persist so the
+    # unit pre-aggregation scans the fact exactly once. Bounded memory:
+    # O(#conversation-windows), never O(rows).
+    units = units.persist()
+    if late_units is not None:
+        late_units = late_units.persist()
 
     # deterministic capacity: conversations beyond the per-window cap are
     # evicted whole (replacement for LRU, trace_buffer.go:107-110)
     if cfg.buffer_max_convs is not None:
-        from pyspark.sql import Window as W
-
         wr = W.partitionBy("window_start_s").orderBy(
             F.col("n_turns").desc(), F.col("conv_id").asc()
         )
@@ -134,18 +208,22 @@ def build_routed(
         win_keys = winners.select("window_start_s", "conv_id").withColumn(
             "_won", F.lit(True)
         )
-        routed = flagged.join(
+        routed = windowed.join(
             F.broadcast(win_keys), on=["window_start_s", "conv_id"], how="left"
         )
     else:
+        # simple mode: unit IS the row; late detection must precede sampling
+        on_time_rows = windowed.filter(~invalid)
+        if late_units is not None:
+            on_time_rows = _filter_late_rows(on_time_rows, late_units)
         winners = sample_rows(
-            on_time, cfg.size_k, ["conv_id", "turn_idx"], "window_start_s",
+            on_time_rows, cfg.size_k, ["conv_id", "turn_idx"], "window_start_s",
             cfg.weight_col, cfg.seed, cfg.salt_buckets, cfg.method, cfg.priority,
         )
         win_keys = winners.select(
             "window_start_s", "conv_id", "turn_idx"
         ).withColumn("_won", F.lit(True))
-        routed = flagged.join(
+        routed = windowed.join(
             F.broadcast(win_keys),
             on=["window_start_s", "conv_id", "turn_idx"],
             how="left",
@@ -154,6 +232,23 @@ def build_routed(
             "window_start_s", "conv_id", "ares_key", "prio_int",
             F.lit(1).cast("long").alias("n_turns"),
         )
+
+    if late_units is not None:
+        routed = routed.join(
+            F.broadcast(
+                late_units.withColumnRenamed("status", "_late_status")
+            ),
+            on=["window_start_s", "conv_id"],
+            how="left",
+        )
+        late = (F.col("_late_status") == "all_late") | (
+            (F.col("_late_status") == "boundary")
+            & (F.unix_timestamp("ts") < F.col("cutoff_s"))
+        )
+        late = F.coalesce(late, F.lit(False))
+    else:
+        routed = routed.withColumn("_late_status", F.lit(None).cast("string"))
+        late = F.lit(False)
 
     if evicted_keys is not None:
         routed = routed.join(
@@ -181,9 +276,22 @@ def build_routed(
     routed = (
         routed.withColumn("sink", sink)
         .withColumn("reason", reason)
-        .drop("_won", "_evicted", "_conv_start_ts")
+        .drop("_won", "_evicted", "_late_status", "cutoff_s")
     )
     return routed, winners
+
+
+def _filter_late_rows(rows: DataFrame, late_units: DataFrame) -> DataFrame:
+    joined = rows.join(
+        F.broadcast(late_units),
+        on=["window_start_s", "conv_id"],
+        how="left",
+    )
+    keep = (
+        F.col("status").isNull()
+        | ((F.col("status") == "boundary") & (F.unix_timestamp("ts") >= F.col("cutoff_s")))
+    )
+    return joined.filter(keep).drop("status", "cutoff_s")
 
 
 def run_pipeline(
@@ -192,14 +300,11 @@ def run_pipeline(
     dim_role: "DataFrame | None" = None,
     dim_tool: "DataFrame | None" = None,
     use_pandas_parse: bool = False,
-    persist: bool = False,
 ) -> PipelineResult:
     raw_cols = transcripts.columns
     routed, winners = build_routed(
         transcripts, cfg, dim_role, dim_tool, use_pandas_parse
     )
-    if persist:
-        routed = routed.persist()
 
     sampled = routed.filter(F.col("sink") == "sampled_traces").drop("sink", "reason")
     overflow = routed.filter(F.col("sink") == "overflow").drop("sink")
