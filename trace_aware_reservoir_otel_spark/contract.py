@@ -520,14 +520,20 @@ def _mk_query(builder: Callable[[Dialect], str]):
 
 
 def contract_queries() -> "dict[str, Callable[[SparkSession, str], DataFrame]]":
+    from trace_aware_reservoir_otel_spark.contract_dedup import DEDUP_QUERIES
+
     out = {name: _mk_query(b) for name, b in QUERY_BUILDERS.items()}
     out.update(_library_queries())
+    out.update(DEDUP_QUERIES)
     return out
 
 
 def contract_oracles() -> "dict[str, str]":
+    from trace_aware_reservoir_otel_spark.contract_dedup import dedup_oracles
+
     out = {name: b(DUCK) for name, b in QUERY_BUILDERS.items()}
     out.update(_library_oracles())
+    out.update(dedup_oracles())
     return out
 
 

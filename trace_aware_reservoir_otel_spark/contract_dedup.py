@@ -1,0 +1,340 @@
+"""Contract queries for dedup / similarity operators, with generated
+DuckDB oracle SQL (loops keep the H-hash / per-bit SQL consistent with the
+library's column generation).
+
+Near-dup fixtures are constructed inside the queries (deterministically,
+from the driver tables themselves): documents gets perturbed copies
+(first token replaced) at doc_id+1_000_000; embeddings gets identical
+copies at vec_id+100_000 — so candidate-pair results are non-trivial at
+every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MINHASHES = 8
+BANDS = 4
+SHINGLE_N = 3
+SEED = 42
+JACCARD_T = 0.5
+ANN_K = 10
+BUCKET_DIMS = (0, 8, 16, 24)
+SIM_BITS = 52
+MAX_BUCKET = 64
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    near = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "xyzzy").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(near)
+
+
+AUG_DOCS_SQL = (
+    "select doc_id, text from documents\n"
+    "      union all\n"
+    "      select doc_id + 1000000 as doc_id,\n"
+    "             regexp_replace(text, '^\\S+', 'xyzzy') as text\n"
+    "      from documents where doc_id < 50"
+)
+
+
+def _duck_pbig(expr: str) -> str:
+    return "cast('0x' || substr(md5(" + expr + "), 1, 13) as bigint)"
+
+
+def _shingle_ctes() -> str:
+    n1 = SHINGLE_N - 1
+    return (
+        "    aug as (\n      " + AUG_DOCS_SQL + "\n    ),\n"
+        "    toks as (\n"
+        "      select doc_id, regexp_split_to_array(trim(text), '\\s+') as tk\n"
+        "      from aug where length(trim(text)) > 0\n"
+        "    ),\n"
+        "    sh as (\n"
+        "      select distinct doc_id,\n"
+        f"             array_to_string(tk[i:i+{n1}], ' ') as sh\n"
+        "      from toks\n"
+        f"      cross join unnest(range(1, greatest(len(tk) - {n1}, 0) + 1)) as t(i)\n"
+        "    )"
+    )
+
+
+def _minhash_cte() -> str:
+    mins = ",\n             ".join(
+        "min(" + _duck_pbig(f"'{SEED}:mh{h}:' || sh") + f") as mh_{h}"
+        for h in range(MINHASHES)
+    )
+    return (
+        _shingle_ctes() + ",\n"
+        "    mh as (\n"
+        "      select doc_id,\n             " + mins + "\n"
+        "      from sh group by doc_id\n"
+        "    )"
+    )
+
+
+# --- minhash signatures ------------------------------------------------------
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.operators.dedup import minhash_signatures
+
+    aug = _aug_docs(spark, sf_dir)
+    sig = minhash_signatures(
+        aug, num_hashes=MINHASHES, n=SHINGLE_N, portable=True, seed=SEED
+    )
+    return sig.filter(F.col("mh_0").isNotNull())
+
+
+def oracle_minhash_signatures() -> str:
+    return "with\n" + _minhash_cte() + "\n    select * from mh"
+
+
+# --- LSH candidate pairs -----------------------------------------------------
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    aug = _aug_docs(spark, sf_dir)
+    sig = minhash_signatures(
+        aug, num_hashes=MINHASHES, n=SHINGLE_N, portable=True, seed=SEED
+    )
+    return lsh_candidate_pairs(sig, bands=BANDS, max_bucket=MAX_BUCKET)
+
+
+def oracle_lsh_pairs() -> str:
+    rpb = MINHASHES // BANDS
+    band_selects = []
+    for b in range(BANDS):
+        cols = " || ',' || ".join(
+            f"cast(mh_{i} as varchar)" for i in range(b * rpb, (b + 1) * rpb)
+        )
+        band_selects.append(
+            f"select doc_id, {b} as band, md5({cols}) as bucket from mh"
+        )
+    bands_sql = "\n      union all\n      ".join(band_selects)
+    return (
+        "with\n" + _minhash_cte() + ",\n"
+        "    band_rows_all as (\n      " + bands_sql + "\n    ),\n"
+        "    band_rows as (\n"
+        "      select doc_id, band, bucket\n"
+        "      from (select *, row_number() over (\n"
+        "                   partition by band, bucket order by doc_id) as rn\n"
+        "            from band_rows_all)\n"
+        f"      where rn <= {MAX_BUCKET}\n"
+        "    )\n"
+        "    select distinct a.doc_id as doc_a, b.doc_id as doc_b\n"
+        "    from band_rows a join band_rows b\n"
+        "      on a.band = b.band and a.bucket = b.bucket\n"
+        "    where a.doc_id < b.doc_id"
+    )
+
+
+# --- exact n-gram Jaccard pairs ----------------------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.operators.dedup import ngram_jaccard_pairs
+
+    aug = _aug_docs(spark, sf_dir)
+    return ngram_jaccard_pairs(aug, n=SHINGLE_N, threshold=JACCARD_T)
+
+
+def oracle_ngram_jaccard() -> str:
+    return (
+        "with\n" + _shingle_ctes() + ",\n"
+        "    sizes as (select doc_id, cast(count(*) as bigint) as sz from sh group by doc_id),\n"
+        "    inter as (\n"
+        "      select a.doc_id as doc_a, b.doc_id as doc_b,\n"
+        "             cast(count(*) as bigint) as n_common\n"
+        "      from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id\n"
+        "      group by a.doc_id, b.doc_id\n"
+        "    )\n"
+        "    select doc_a, doc_b, n_common,\n"
+        "           sa.sz as sz_a, sb.sz as sz_b,\n"
+        "           n_common / cast(sa.sz + sb.sz - n_common as double) as jaccard\n"
+        "    from inter\n"
+        "    join sizes sa on sa.doc_id = doc_a\n"
+        "    join sizes sb on sb.doc_id = doc_b\n"
+        f"    where n_common / cast(sa.sz + sb.sz - n_common as double) >= {JACCARD_T}"
+    )
+
+
+# --- simhash -----------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.operators.dedup import simhash
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    return simhash(docs, bits=SIM_BITS, portable=True, seed=SEED)
+
+
+def oracle_simhash() -> str:
+    h = _duck_pbig(f"'{SEED}:simhash:' || tok")
+    sums = ",\n             ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as s{b}"
+        for b in range(SIM_BITS)
+    )
+    terms = "\n           + ".join(
+        f"(case when s{b} > 0 then cast({1 << b} as bigint) else 0 end)"
+        for b in range(SIM_BITS)
+    )
+    return (
+        "with toks as (\n"
+        "      select doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) as tok\n"
+        "      from documents where length(trim(text)) > 0\n"
+        "    ),\n"
+        "    hashed as (select doc_id, " + h + " as h from toks),\n"
+        "    agg as (\n"
+        "      select doc_id,\n             " + sums + "\n"
+        "      from hashed group by doc_id\n"
+        "    )\n"
+        "    select doc_id,\n           " + terms + " as simhash\n"
+        "    from agg"
+    )
+
+
+# --- embedding similarity ----------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> "list[float]":
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=ANN_K)
+
+
+_DUCK_COS = (
+    "round(list_dot_product(ev, qv)"
+    " / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6)"
+)
+
+
+def oracle_ann_cosine_topk() -> str:
+    return (
+        "with q as (\n"
+        "      select list_transform(embedding, x -> cast(x as double)) as qv\n"
+        "      from embeddings where vec_id = 0\n"
+        "    ),\n"
+        "    e as (\n"
+        "      select vec_id, list_transform(embedding, x -> cast(x as double)) as ev\n"
+        "      from embeddings\n"
+        "    )\n"
+        "    select vec_id, " + _DUCK_COS + " as sim\n"
+        "    from e, q\n"
+        f"    order by sim desc, vec_id asc limit {ANN_K}"
+    )
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.operators.similarity import ann_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_lsh(emb, _query_vec(spark, sf_dir), k=ANN_K, bucket_dims=BUCKET_DIMS)
+
+
+def _duck_bucket(prefix: str) -> str:
+    terms = [
+        f"(case when {prefix}embedding[{d + 1}] >= 0 then {1 << i} else 0 end)"
+        for i, d in enumerate(BUCKET_DIMS)
+    ]
+    return " + ".join(terms)
+
+
+def oracle_ann_lsh_bucket() -> str:
+    return (
+        "with q as (\n"
+        "      select list_transform(embedding, x -> cast(x as double)) as qv,\n"
+        "             " + _duck_bucket("") + " as qbucket\n"
+        "      from embeddings where vec_id = 0\n"
+        "    ),\n"
+        "    e as (\n"
+        "      select vec_id,\n"
+        "             list_transform(embedding, x -> cast(x as double)) as ev,\n"
+        "             " + _duck_bucket("") + " as bucket\n"
+        "      from embeddings\n"
+        "    )\n"
+        "    select vec_id, " + _DUCK_COS + " as sim\n"
+        "    from e, q where e.bucket = q.qbucket\n"
+        f"    order by sim desc, vec_id asc limit {ANN_K}"
+    )
+
+
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_pairs(
+        emb.unionByName(copies), threshold=0.95, bucket_dims=BUCKET_DIMS
+    )
+
+
+def oracle_embedding_near_pairs() -> str:
+    return (
+        "with aug as (\n"
+        "      select vec_id, embedding from embeddings\n"
+        "      union all\n"
+        "      select vec_id + 100000 as vec_id, embedding\n"
+        "      from embeddings where vec_id < 20\n"
+        "    ),\n"
+        "    e as (\n"
+        "      select vec_id,\n"
+        "             list_transform(embedding, x -> cast(x as double)) as v,\n"
+        "             " + _duck_bucket("") + " as bucket\n"
+        "      from aug\n"
+        "    )\n"
+        "    select a.vec_id as id_a, b.vec_id as id_b,\n"
+        "           round(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) as sim\n"
+        "    from e a join e b on a.bucket = b.bucket and a.vec_id < b.vec_id\n"
+        "    where round(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95"
+    )
+
+
+DEDUP_QUERIES = {
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "simhash52": q_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "embedding_near_pairs": q_embedding_near_pairs,
+}
+
+
+def dedup_oracles() -> "dict[str, str]":
+    return {
+        "minhash_signatures": oracle_minhash_signatures(),
+        "minhash_lsh_pairs": oracle_lsh_pairs(),
+        "ngram_jaccard_pairs": oracle_ngram_jaccard(),
+        "simhash52": oracle_simhash(),
+        "ann_cosine_topk": oracle_ann_cosine_topk(),
+        "ann_lsh_bucket": oracle_ann_lsh_bucket(),
+        "embedding_near_pairs": oracle_embedding_near_pairs(),
+    }

@@ -1,0 +1,293 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No analog in the reference (its dedup is the reservoir's by-key upsert,
+reservoir.go:137); these are the standard corpus-dedup family, built
+Spark-first:
+
+ - exact_dedup          : content-hash groupBy, survivor = min id.
+ - shingles             : word n-gram sets (the common unit for Jaccard).
+ - minhash_signatures   : H deterministic min-hashes per doc — one
+   explode + single groupBy with H conditional mins (no H passes).
+ - lsh_candidate_pairs  : banding -> bucket join -> candidate pairs;
+   the scalable near-dup path (pairs only within buckets, never all-pairs).
+ - ngram_jaccard_pairs  : exact Jaccard via shingle equi-join (verifier
+   for LSH candidates, or standalone for small candidate sets).
+ - simhash              : 52-bit charge-accumulation fingerprint;
+   near-dups = small hamming distance.
+
+Determinism: every hash is the portable md5-based ``pbig`` when
+``portable=True`` (DuckDB-oracle-checkable) or JVM ``xxhash64`` when False
+(fastest; default for production use).
+
+Scale notes: shingle explode multiplies rows by ~tokens/doc — all
+downstream aggregations are partial-agg'd per doc before any shuffle;
+bucket joins shuffle only (band_hash, doc_id) pairs; `max_bucket` caps
+degenerate buckets (e.g. empty-text collisions) exactly like production
+LSH dedup pipelines drop mega-buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from trace_aware_reservoir_otel_spark.functions.hashing import pbig
+
+
+def _hash64(col: Column, salt: str, portable: bool, seed: int) -> Column:
+    if portable:
+        return pbig(F.concat(F.lit(f"{salt}:"), col), seed)
+    return F.xxhash64(F.lit(f"{seed}:{salt}"), col)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor (min id) per distinct content + duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_h"))
+        .agg(
+            F.min(id_col).cast("long").alias(f"survivor_{id_col}"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def with_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", out_col: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-grams per document (empty array if < n tokens)."""
+    toks = tokens_col(text_col)
+    count = F.size(toks) - (n - 1)
+    sh = F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return df.withColumn(out_col, F.array_distinct(sh))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """One row per doc with columns mh_0..mh_{H-1} (min over shingles of
+    hash(h, shingle)); docs with no shingles get NULL signatures.
+
+    Single explode + single groupBy: the per-shingle row carries all H
+    hashes as columns, min-aggregated per doc (map-side combine)."""
+    sh = with_shingles(df, n, text_col).select(
+        id_col, F.explode_outer("shingles").alias("sh")
+    )
+    per = sh.select(
+        id_col,
+        *[
+            _hash64(F.col("sh"), f"mh{h}", portable, seed).alias(f"_h{h}")
+            for h in range(num_hashes)
+        ],
+    )
+    return per.groupBy(id_col).agg(
+        *[F.min(f"_h{h}").alias(f"mh_{h}") for h in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Signature columns mh_* are split into `bands` contiguous bands; a
+    band's bucket key is the md5 of its concatenated values. Pairs emerge
+    from a self-join per bucket (skew-capped at `max_bucket`)."""
+    mh_cols = sorted(
+        (c for c in signatures.columns if c.startswith("mh_")),
+        key=lambda c: int(c.split("_")[1]),
+    )
+    assert len(mh_cols) % bands == 0, "num_hashes must divide evenly into bands"
+    rpb = len(mh_cols) // bands
+    sig = signatures.filter(F.col(mh_cols[0]).isNotNull())
+    band_rows = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.col(c).cast("string") for c in mh_cols[b * rpb:(b + 1) * rpb]]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    wb = W.partitionBy("band", "bucket").orderBy(id_col)
+    band_rows = (
+        band_rows.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    a = band_rows.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_a")
+    )
+    b = band_rows.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_b")
+    )
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: "DataFrame | None" = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (>= threshold).
+
+    Without `candidates`, pairs come from the shingle equi-join (every
+    co-shingled pair); with `candidates` (e.g. LSH output) only those
+    pairs are scored — the scalable composition is
+    lsh_candidate_pairs |> ngram_jaccard_pairs."""
+    sh = (
+        with_shingles(df, n, text_col)
+        .select(id_col, F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(
+            F.broadcast(candidates.select("doc_a", "doc_b")), on=["doc_a", "doc_b"]
+        )
+    sza = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "sz_a", "sz_b", "jaccard")
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 52,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Charge-accumulation SimHash over tokens (52 bits so the value stays
+    exact in doubles and portable SQL).
+
+    bit b of simhash = 1 iff sum over tokens of (+1 if bit b of
+    hash(token) else -1) > 0. Computed as one explode + one groupBy with
+    `bits` conditional sums (no per-bit passes)."""
+    toks = df.select(id_col, F.explode_outer(tokens_col(text_col)).alias("tok"))
+    h = _hash64(F.col("tok"), "simhash", portable, seed)
+    per = toks.select(
+        id_col,
+        *[
+            F.when(F.col("tok").isNull(), F.lit(0))
+            .otherwise(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            )
+            .alias(f"_b{b}")
+            for b in range(bits)
+        ],
+    )
+    agg = per.groupBy(id_col).agg(
+        *[F.sum(f"_b{b}").alias(f"_s{b}") for b in range(bits)]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, max_hamming: int = 6, id_col: str = "doc_id", chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Pigeonhole LSH: split the 52 bits into `chunks` chunks; any pair
+    within distance < chunks must share at least one exact chunk -> join
+    on (chunk_idx, chunk_value), then verify with bit_count."""
+    bits = 52
+    per = bits // chunks
+    chunk_cols = [
+        (
+            F.shiftright(F.col("simhash"), i * per)
+            .bitwiseAND(F.lit((1 << per) - 1))
+            .alias(f"c{i}")
+        )
+        for i in range(chunks)
+    ]
+    e = sim_df.select(id_col, "simhash", *chunk_cols).select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("ci"), F.col(f"c{i}").alias("cv"))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.ci", "ch.cv")
+    a = e.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "ci", "cv")
+    b = e.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "ci", "cv")
+    pairs = (
+        a.join(b, on=["ci", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("doc_a", "doc_b", "hamming")
