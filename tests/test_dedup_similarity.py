@@ -1,0 +1,172 @@
+"""Library-level checks for dedup/similarity ops (fast xxhash mode) against
+independent pure-Python oracles."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trace_aware_reservoir_otel_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+    with_shingles,
+)
+from trace_aware_reservoir_otel_spark.operators.multimodal import (
+    extract_features,
+    media_stats,
+    synthesize_media,
+)
+from trace_aware_reservoir_otel_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    embedding_near_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "completely different text about spark engines here"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "one two"),  # < 3 tokens -> no shingles
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def _py_shingles(text, n=3):
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_shingles_match_python(spark, docs):
+    got = {
+        r["doc_id"]: set(r["shingles"])
+        for r in with_shingles(docs, 3).collect()
+    }
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _py_shingles(text), doc_id
+
+
+def test_exact_dedup(docs):
+    res = {r["survivor_doc_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert res[0] == 2  # docs 0 and 3
+    assert res[1] == 1
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sig = minhash_signatures(docs, num_hashes=8).collect()
+    by_id = {r["doc_id"]: tuple(r[f"mh_{h}"] for h in range(8)) for r in sig}
+    assert by_id[0] == by_id[3]
+    assert by_id[0] != by_id[2]
+    assert by_id[4][0] is None and by_id[5][0] is None  # no shingles
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    sig = minhash_signatures(docs, num_hashes=8)
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sig, bands=4).collect()
+    }
+    assert (0, 3) in pairs  # exact dup always collides in every band
+    assert (0, 2) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    }
+    assert pairs[(0, 3)] == 1.0
+    a, b = _py_shingles(DOCS[0][1]), _py_shingles(DOCS[1][1])
+    exp = len(a & b) / len(a | b)
+    assert math.isclose(pairs[(0, 1)], exp)
+    assert (0, 2) not in pairs
+
+
+def test_simhash_near_pairs(spark, docs):
+    # near-dup sensitivity needs longer docs: 1 token changed out of 36
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.rsplit("dog", 1)[0] + "cat "
+    other = "completely different text about spark engines and parquet " * 4
+    long_docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, other), (3, base)], "doc_id long, text string"
+    )
+    sim = simhash(long_docs, bits=52)
+    rows = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert rows[0] == rows[3]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(sim, max_hamming=16).collect()
+    }
+    assert pairs[(0, 3)] == 0
+    assert (0, 1) in pairs  # near-dup: small hamming distance
+    hd02 = bin(rows[0] ^ rows[2]).count("1")
+    assert hd02 > 16  # different docs stay apart
+
+
+EMB = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [-1.0, 0.0, 0.0, 0.0]),
+    (4, [1.0, 0.0, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        EMB, "vec_id long, embedding array<float>"
+    ).cache()
+
+
+def test_cosine_topk(emb):
+    got = [(r["vec_id"], r["sim"]) for r in cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    assert [v for v, _ in got] == [0, 4, 1]
+    assert got[0][1] == 1.0 and got[1][1] == 1.0
+    exp = 0.9 / math.sqrt(0.81 + 0.01)
+    assert math.isclose(got[2][1], round(exp, 6))
+
+
+def test_ann_lsh_excludes_other_bucket(emb):
+    got = [r["vec_id"] for r in ann_topk_lsh(emb, [1.0, 0.0, 0.0, 0.0], k=5, bucket_dims=[0]).collect()]
+    assert 3 not in got  # negative first dim -> other bucket
+    assert got[0] in (0, 4)
+
+
+def test_embedding_near_pairs(emb):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_near_pairs(emb, threshold=0.95, bucket_dims=[0]).collect()
+    }
+    assert pairs[(0, 4)] == 1.0
+    assert (0, 2) not in pairs
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = synthesize_media(docs.filter(F.length("text") > 0))
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_bytes"] == len(r["payload"])
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6
+    # deterministic across runs
+    again = {r["media_id"]: r["payload_hash"] for r in extract_features(media).collect()}
+    first = {r["media_id"]: r["payload_hash"] for r in rows}
+    assert first == again
+    stats = media_stats(feats).collect()
+    assert sum(r["n_items"] for r in stats) == 5
+    # exact dup payloads (docs 0 and 3) collapse in distinct count
+    tot_distinct = (
+        feats.agg(F.countDistinct("payload_hash").alias("d")).collect()[0]["d"]
+    )
+    assert tot_distinct == 4

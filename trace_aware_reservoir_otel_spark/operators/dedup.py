@@ -36,7 +36,11 @@ from trace_aware_reservoir_otel_spark.functions.hashing import pbig
 def _hash64(col: Column, salt: str, portable: bool, seed: int) -> Column:
     if portable:
         return pbig(F.concat(F.lit(f"{salt}:"), col), seed)
-    return F.xxhash64(F.lit(f"{seed}:{salt}"), col)
+    # xxhash64 silently skips NULL inputs (hashing just the salt); null
+    # must propagate so shingle-less docs get NULL signatures
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(
+        F.xxhash64(F.lit(f"{seed}:{salt}"), col)
+    )
 
 
 def exact_dedup(
