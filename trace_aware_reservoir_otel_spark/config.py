@@ -98,8 +98,8 @@ class PipelineConfig:
             raise ValueError(f"unknown method {self.method!r}")
         if self.priority not in ("ares", "int"):
             raise ValueError(f"unknown priority {self.priority!r}")
-        if self.late_tolerance_s < 0:
-            raise ValueError("late_tolerance_s must be >= 0")
+        if self.late_tolerance_s is not None and self.late_tolerance_s < 0:
+            raise ValueError("late_tolerance_s must be >= 0 or None (disabled)")
 
     @classmethod
     def from_dict(cls, d: dict) -> "PipelineConfig":
