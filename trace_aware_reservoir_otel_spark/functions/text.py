@@ -1,0 +1,85 @@
+"""Text analysis functions for training-data pipelines (SURVEY §2 training
+ops): language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure Column expressions (JVM codegen — no Python in
+the hot path); the contract SQL versions in contract.py compute the same
+values (kept aligned by tests/test_contract.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from trace_aware_reservoir_otel_spark.functions.hashing import pbig
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# BPE-ish token approximation: word pieces, numbers, or single
+# non-space symbols — the standard cheap proxy for tokenizer counts.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def n_tokens(text: "Column | str") -> Column:
+    t = F.trim(F.col(text) if isinstance(text, str) else text)
+    return (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+    )
+
+
+def n_tokens_bpe_ish(text: "Column | str") -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_RE), 0)).cast("long")
+
+
+def stopword_hits(text: "Column | str", stopwords=EN_STOPWORDS) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    pat = r"\b(" + "|".join(stopwords) + r")\b"
+    return F.regexp_count(F.concat(F.lit(" "), t, F.lit(" ")), F.lit(pat)).cast("long")
+
+
+def lang_pred(text: "Column | str") -> Column:
+    """'en_like' when stopword density clears the threshold (the contract
+    query's integer-arithmetic rule: hits * 12 >= tokens)."""
+    return F.when(
+        stopword_hits(text) * 12 >= n_tokens(text), F.lit("en_like")
+    ).otherwise(F.lit("other"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-density quality signals."""
+    t = F.col(text_col)
+    nt = n_tokens(t)
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("long")
+    return (
+        df.withColumn("n_chars_m", F.length(t).cast("long"))
+        .withColumn("n_tokens", nt)
+        .withColumn("n_tokens_bpe_ish", n_tokens_bpe_ish(t))
+        .withColumn("sw_hits", stopword_hits(t))
+        .withColumn("n_punct", punct)
+        .withColumn(
+            "avg_token_len_x100",
+            F.when(nt == 0, F.lit(0)).otherwise(
+                F.round(
+                    100.0 * F.length(F.replace(t, F.lit(" "), F.lit(""))) / nt
+                )
+            ).cast("long"),
+        )
+        .withColumn("lang_pred", lang_pred(t))
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", gram: int = 8, seed: int = 42
+) -> DataFrame:
+    """Rolling-hash fingerprint: min over all `gram`-char substrings of the
+    portable 52-bit hash (winnowing-lite; equal for equal content)."""
+    t = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (gram - 1), F.lit(1))),
+        lambda i: F.substring(t, i, gram),
+    )
+    hashes = F.transform(grams, lambda g: pbig(g, seed))
+    return df.select(
+        F.col(id_col), F.array_min(hashes).alias("fingerprint")
+    )
