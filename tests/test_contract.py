@@ -49,8 +49,14 @@ def test_every_query_has_oracle():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may legitimately omit an oracle; list them
     # explicitly so additions are deliberate
-    allowed_no_oracle = set()
+    allowed_no_oracle = {"multimodal_media_stats"}
     assert missing <= allowed_no_oracle
+
+
+def test_no_oracle_queries_still_run(spark):
+    for name in set(QUERIES) - set(ORACLES):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() > 0, name
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) & set(ORACLES)))

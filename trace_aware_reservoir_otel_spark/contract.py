@@ -706,11 +706,70 @@ def _oracle_flagship() -> str:
     """
 
 
+def _q_parse_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas-UDF grok path (F7's escape hatch), verified
+    against the same SQL oracle as the JVM-regex path."""
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.functions.parse import (
+        with_parsed_fields_pandas,
+    )
+    from trace_aware_reservoir_otel_spark.sources.tables import transcripts_from_events
+
+    tr = transcripts_from_events(spark, sf_dir)
+    parsed = with_parsed_fields_pandas(tr)
+    return parsed.filter(F.col("p_tool").isNotNull()).select(
+        "conv_id", "turn_idx", "p_tool", "p_dur_ms", "p_trace_hex", "p_span_hex"
+    )
+
+
+def _oracle_parse_pandas() -> str:
+    pat = r"<tool_call name=(\w+) dur_ms=(\d+)> trace=([0-9a-f]{16}) span=([0-9a-f]{8})"
+    return f"""
+    with tr as (
+      select 'conv-' || cast(user_id as varchar) as conv_id,
+             cast(row_number() over (
+               partition by user_id order by ts, event_id) - 1 as int) as turn_idx,
+             case when event_type in ('purchase', 'signup', 'error')
+                  then 'event ' || event_type || ' ' || props
+                       || ' <tool_call name=' || event_type
+                       || ' dur_ms=' || cast(cast(floor(value * 10) as bigint) as varchar)
+                       || '> trace=' || substr(md5('ev:' || cast(event_id as varchar)), 1, 16)
+                       || ' span=' || substr(md5('ev:' || cast(event_id as varchar)), 17, 8)
+                  else 'event ' || event_type || ' ' || props end as text
+      from events
+    )
+    select conv_id, turn_idx,
+           nullif(regexp_extract(text, '{pat}', 1), '') as p_tool,
+           cast(nullif(regexp_extract(text, '{pat}', 2), '') as bigint) as p_dur_ms,
+           nullif(regexp_extract(text, '{pat}', 3), '') as p_trace_hex,
+           nullif(regexp_extract(text, '{pat}', 4), '') as p_span_hex
+    from tr
+    where nullif(regexp_extract(text, '{pat}', 1), '') is not null
+    """
+
+
+def _q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas binary plumbing (decode stubbed — see multimodal.py);
+    no SQL oracle: driver records the weaker rows-only check."""
+    from trace_aware_reservoir_otel_spark.operators.multimodal import (
+        extract_features,
+        media_stats,
+        synthesize_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = synthesize_media(docs)
+    return media_stats(extract_features(media)).orderBy("media_type")
+
+
 def _library_queries():
     return {
         "lib_reservoir_events": _q_lib_reservoir_events,
         "lib_trace_sample_events": _q_lib_trace_sample_events,
         "flagship_pipeline": _q_flagship,
+        "parse_tool_calls_pandas_udf": _q_parse_pandas,
+        "multimodal_media_stats": _q_multimodal_stats,
     }
 
 
@@ -719,4 +778,7 @@ def _library_oracles():
         "lib_reservoir_events": _oracle_lib_reservoir_events(),
         "lib_trace_sample_events": _oracle_lib_trace_sample_events(),
         "flagship_pipeline": _oracle_flagship(),
+        "parse_tool_calls_pandas_udf": _oracle_parse_pandas(),
+        # multimodal_media_stats: intentionally no oracle (mapInPandas
+        # binary plumbing is not SQL-expressible; rows-only check)
     }
