@@ -170,11 +170,21 @@ def build_routed(
     """Returns (routed, winners): the single routed frame plus the
     conv-level winner set (for state checkpointing)."""
     parse = with_parsed_fields_pandas if use_pandas_parse else with_parsed_fields
-    enriched = enrich(parse(transcripts), dim_role, dim_tool)
-    windowed = with_tumbling_window(enriched, "ts", cfg.window_duration_s)
+    windowed_raw = with_tumbling_window(transcripts, "ts", cfg.window_duration_s)
+    windowed = enrich(
+        parse(windowed_raw), dim_role, dim_tool
+    )
 
     invalid = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
-    valid = windowed.filter(~invalid)
+
+    # unit aggregation reads only (conv, turn, ts[, weight]) — feed it the
+    # raw frame so the scan prunes to those columns and the parse/enrich
+    # work never runs in the aggregation branch (unless the sampling
+    # weight itself is a parsed/enriched column)
+    unit_src = windowed if (
+        cfg.weight_col is not None and cfg.weight_col not in windowed_raw.columns
+    ) else windowed_raw
+    valid = unit_src.filter(~invalid)
 
     units, late_units = _build_units_and_late(valid, cfg)
     # units/late_units are conv-level (orders of magnitude smaller than the
