@@ -48,7 +48,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from trace_aware_reservoir_otel_spark.config import PipelineConfig
-from trace_aware_reservoir_otel_spark.functions.hashing import ares_key, pbig
+from trace_aware_reservoir_otel_spark.functions.hashing import pbig
 from trace_aware_reservoir_otel_spark.functions.parse import (
     with_parsed_fields,
     with_parsed_fields_pandas,
@@ -69,13 +69,19 @@ class PipelineResult:
 
 
 def _with_unit_priorities(units: DataFrame, cfg: PipelineConfig, weighted: bool) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.functions.hashing import TWO_POW_52
+
     prio_key = F.concat(
         F.col("window_start_s").cast("string"), F.lit(":"), F.col("conv_id")
     )
-    w = F.col("_w") if weighted else None
-    return units.withColumn("ares_key", ares_key(prio_key, cfg.seed, w)).withColumn(
-        "prio_int", pbig(prio_key, cfg.seed)
-    )
+    with_int = units.withColumn("prio_int", pbig(prio_key, cfg.seed))
+    # derive the A-Res key from the already-computed integer priority
+    # (same u = (prio+0.5)/2^52 as hashing.u01 — one md5 per unit, not two)
+    u = (F.col("prio_int").cast("double") + F.lit(0.5)) / F.lit(TWO_POW_52)
+    ares = -F.log(u)
+    if weighted:
+        ares = ares / F.col("_w").cast("double")
+    return with_int.withColumn("ares_key", ares)
 
 
 def _build_units_and_late(
