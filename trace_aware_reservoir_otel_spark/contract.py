@@ -62,6 +62,10 @@ class Dialect:
             return f"cast(conv(substring({inner}, 1, 13), 16, 10) as bigint)"
         return f"cast('0x' || substr({inner}, 1, 13) as bigint)"
 
+    def u01(self, expr: str, seed: int = SEED) -> str:
+        """Deterministic uniform (0,1) double from the 52-bit priority."""
+        return f"((cast({self.pbig(expr, seed)} as double) + 0.5) / {float(2**52)!r})"
+
     def str_t(self) -> str:
         return "string" if self.kind == "spark" else "varchar"
 
@@ -246,6 +250,41 @@ def q_routing_counts(d: Dialect) -> str:
            cast(count(*) - sum(s) as bigint) as rows_overflow
     from flagged
     group by window_start_s
+    """
+
+
+def q_reservoir_weighted(d: Dialect) -> str:
+    # A1 weighted (north-star upgrade): A-Res key -ln(u)/w, keep k
+    # smallest. The only contract ordering involving a transcendental —
+    # rounded to 9 digits on both sides so last-ulp ln() differences
+    # between engines cannot flip ranks.
+    w = "(value + 1.0)"
+    ukey = d.u01(f"{d.bucket('ts', DAY)} || ':' || cast(event_id as {d.str_t()})")
+    return f"""
+    with pri as (
+      select {d.bucket('ts', DAY)} as window_start_s,
+             event_id,
+             round(- ln({ukey}) / {w}, 9) as ares9
+      from events
+    )
+    select window_start_s, event_id, ares9
+    from (select *, row_number() over (
+                 partition by window_start_s
+                 order by ares9 asc, event_id asc) as rn
+          from pri)
+    where rn <= {K_SIMPLE}
+    """
+
+
+def q_rollup_pricing(d: Dialect) -> str:
+    # grouping-sets coverage (Catalyst expand): ROLLUP over lineitem flags
+    return f"""
+    select coalesce(l_returnflag, '(all)') as returnflag,
+           coalesce(l_linestatus, '(all)') as linestatus,
+           cast(count(*) as bigint) as n_rows,
+           cast(sum({d.cents('l_quantity')}) as bigint) as sum_qty_c
+    from lineitem
+    group by rollup(l_returnflag, l_linestatus)
     """
 
 
@@ -489,6 +528,8 @@ QUERY_BUILDERS: "dict[str, Callable[[Dialect], str]]" = {
     "row_identity": q_row_identity,
     "tumbling_window_count": q_tumbling_window_count,
     "reservoir_simple": q_reservoir_simple,
+    "reservoir_weighted": q_reservoir_weighted,
+    "rollup_pricing": q_rollup_pricing,
     "trace_aware_reservoir": q_trace_aware_reservoir,
     "capacity_overflow": q_capacity_overflow,
     "routing_counts": q_routing_counts,
