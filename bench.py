@@ -57,8 +57,11 @@ def _ensure_bench_transcripts(spark) -> str:
     if not os.path.exists(marker):
         from trace_aware_reservoir_otel_spark.synth import generate_transcripts
 
+        # no repartition: range partitioning is already even (LLN over
+        # hash-driven conv sizes) and skipping the shuffle makes 10^8-row
+        # generation feasible
         df = generate_transcripts(spark, n_convs=BENCH_CONVS, seed=42, span_s=7200)
-        df.repartition(128).write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").parquet(path)
     return path
 
 
@@ -165,7 +168,8 @@ def _steal_pct(seconds: float = 3.0) -> float:
 def main_scaling_child(cores: int) -> None:
     spark = _spark(cores)
     path = _ensure_bench_transcripts(spark)
-    _flagship(spark, path)  # warm-up (codegen, file listing)
+    if os.environ.get("TARO_SCALING_WARMUP", "1") != "0":
+        _flagship(spark, path)  # warm-up (codegen, file listing)
     sec, n = _flagship(spark, path)
     print(json.dumps({"cores": cores, "sec": sec, "turns": n, "tps": n / sec}))
     spark.stop()

@@ -121,7 +121,7 @@ def test_uniform_inclusion_frequency(spark):
         rows, "conv_id string, turn_idx int, role string, text string, tool string, s string"
     ).withColumn("ts", F.col("s").cast("timestamp")).drop("s")
     dfw = with_tumbling_window(df, "ts", 60).cache()
-    k, n, trials = 10, 40, 60
+    k, n, trials = 10, 40, 36
     counts = {f"c{i}": 0 for i in range(n)}
     for seed in range(trials):
         _, w = sample_conversations(dfw, k=k, seed=seed)

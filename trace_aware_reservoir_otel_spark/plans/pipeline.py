@@ -117,16 +117,18 @@ def _build_units_and_late(
         return _with_unit_priorities(units, cfg, weighted), None
 
     # conversation start = ts of the globally-minimal turn_idx (root turn),
-    # derived from unit partials — never re-scans or shuffles fact rows
-    starts = pre.groupBy("conv_id").agg(
-        F.min_by("ts_of_min_turn", "min_turn").alias("conv_start_s")
-    )
+    # via a window function over the unit frame partitioned by conv — ONE
+    # unit-level shuffle instead of a self-aggregation + sort-merge join;
+    # never re-scans or shuffles fact rows
+    wconv = W.partitionBy("conv_id")
+    conv_start = F.min(F.struct("min_turn", "ts_of_min_turn")).over(wconv)[
+        "ts_of_min_turn"
+    ]
     # unit-level frame, persisted: both the sampling population and the
     # late-unit set derive from it — one fact scan total
     flagged = (
-        pre.join(starts, on="conv_id", how="left")
-        .withColumn(
-            "cutoff_s", F.col("conv_start_s") - F.lit(float(cfg.late_tolerance_s))
+        pre.withColumn(
+            "cutoff_s", conv_start - F.lit(float(cfg.late_tolerance_s))
         )
         .persist()
     )

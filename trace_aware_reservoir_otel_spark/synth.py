@@ -56,19 +56,26 @@ def generate_transcripts(
     mega_turns: "int | None" = None,
     invalid_rows: "int | None" = None,
     partitions: "int | None" = None,
+    conv_id_offset: int = 0,
 ) -> DataFrame:
     if mega_turns is None:
-        mega_turns = max(50, int(0.9 * n_convs))
+        # ~12% of rows at test scale; capped so the skew fixture stays a
+        # realistic hot key (not half the dataset) at bench scale
+        mega_turns = max(50, min(int(0.9 * n_convs), 500_000))
     if invalid_rows is None:
         invalid_rows = max(2, n_convs // 100)
 
-    convs = spark.range(0, n_convs, numPartitions=partitions or max(4, n_convs // 250000))
+    convs = spark.range(
+        conv_id_offset,
+        conv_id_offset + n_convs,
+        numPartitions=partitions or max(4, n_convs // 250000),
+    )
     cid = F.col("id")
     size_u = u01(F.concat(F.lit("size:"), cid), seed)
     base_size = (F.lit(1) + F.floor(size_u * 8).cast("int")).cast("int")
     tail_size = (F.lit(20) + F.floor(size_u * 80).cast("int")).cast("int")
     n_turns = (
-        F.when(cid == 0, F.lit(mega_turns))
+        F.when(cid == conv_id_offset, F.lit(mega_turns))
         .when(cid % 41 == 0, tail_size)
         .otherwise(base_size)
     )
@@ -92,7 +99,8 @@ def generate_transcripts(
 
     tkey = F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx"))
     th = pbig(tkey, seed)
-    tu = u01(tkey, seed)
+    # derive the uniform from the same hash (one md5 per turn, not two)
+    tu = (th.cast("double") + F.lit(0.5)) / F.lit(float(2**52))
 
     ts_s = (
         F.col("conv_start_s")
