@@ -167,6 +167,9 @@ def _steal_pct(seconds: float = 3.0) -> float:
 
 def main_scaling_child(cores: int) -> None:
     spark = _spark(cores)
+    # 4 waves of shuffle tasks: smaller per-task sort state (fewer spills
+    # at high thread counts) without losing parallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(32, 4 * cores)))
     path = _ensure_bench_transcripts(spark)
     if os.environ.get("TARO_SCALING_WARMUP", "1") != "0":
         _flagship(spark, path)  # warm-up (codegen, file listing)

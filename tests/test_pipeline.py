@@ -24,7 +24,9 @@ WIN = 60
 @pytest.fixture(scope="module")
 def data(spark):
     df = generate_transcripts(spark, n_convs=250, seed=SEED).cache()
-    cfg = PipelineConfig(size_k=K, window_duration_s=WIN, seed=SEED)
+    # md5 hash_impl: the pure-Python oracle below replicates the portable
+    # md5 priority (the fast xxh default is covered by determinism tests)
+    cfg = PipelineConfig(size_k=K, window_duration_s=WIN, seed=SEED, hash_impl="md5")
     res = run_pipeline(df, cfg)
     out = {
         "input": df,

@@ -81,6 +81,7 @@ class PipelineConfig:
     weight_col: "str | None" = None
     method: str = "sql"
     priority: str = "ares"  # 'ares' (weighted) | 'int' (exact, oracle-portable)
+    hash_impl: str = "xxh"  # 'xxh' (fast JVM path) | 'md5' (DuckDB-portable)
     checkpoint_units: int = 0
     run_id: str = "run-0"
     extra: dict = field(default_factory=dict)
@@ -98,6 +99,8 @@ class PipelineConfig:
             raise ValueError(f"unknown method {self.method!r}")
         if self.priority not in ("ares", "int"):
             raise ValueError(f"unknown priority {self.priority!r}")
+        if self.hash_impl not in ("xxh", "md5"):
+            raise ValueError(f"unknown hash_impl {self.hash_impl!r}")
         if self.late_tolerance_s is not None and self.late_tolerance_s < 0:
             raise ValueError("late_tolerance_s must be >= 0 or None (disabled)")
 

@@ -681,6 +681,7 @@ def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_duration_s=DAY,
         seed=SEED,
         priority="int",
+        hash_impl="md5",  # oracle-portable priorities
         late_tolerance_s=10 * DAY,
     )
     res = run_pipeline(tr, cfg)

@@ -73,6 +73,20 @@ def ares_key(key: "Column | str", seed: int, weight: "Column | None" = None) -> 
     return -F.log(u) / w.cast("double")
 
 
+def fast_prio_int(seed: int, *cols: "Column | str") -> Column:
+    """52-bit positive integer priority from xxhash64 — the production
+    fast path (JVM codegen, no string materialization). Same distribution
+    role as `pbig` but NOT portable to the DuckDB oracle; contract queries
+    pin the md5 path, everything else defaults to this (at 10^12 rows the
+    md5-on-concat-string cost is the unit path's dominant term)."""
+    parts = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.shiftrightunsigned(F.xxhash64(F.lit(seed), *parts), 12)
+
+
+def fast_u01(seed: int, *cols: "Column | str") -> Column:
+    return (fast_prio_int(seed, *cols).cast("double") + F.lit(0.5)) / F.lit(TWO_POW_52)
+
+
 def row_key_hash(*cols: "Column | str") -> Column:
     """64-bit row identity — analog of hashSpanKey (span_utils.go:25-44).
 

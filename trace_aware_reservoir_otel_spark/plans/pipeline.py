@@ -69,12 +69,20 @@ class PipelineResult:
 
 
 def _with_unit_priorities(units: DataFrame, cfg: PipelineConfig, weighted: bool) -> DataFrame:
-    from trace_aware_reservoir_otel_spark.functions.hashing import TWO_POW_52
-
-    prio_key = F.concat(
-        F.col("window_start_s").cast("string"), F.lit(":"), F.col("conv_id")
+    from trace_aware_reservoir_otel_spark.functions.hashing import (
+        TWO_POW_52,
+        fast_prio_int,
     )
-    with_int = units.withColumn("prio_int", pbig(prio_key, cfg.seed))
+
+    if cfg.hash_impl == "xxh":
+        with_int = units.withColumn(
+            "prio_int", fast_prio_int(cfg.seed, "window_start_s", "conv_id")
+        )
+    else:
+        prio_key = F.concat(
+            F.col("window_start_s").cast("string"), F.lit(":"), F.col("conv_id")
+        )
+        with_int = units.withColumn("prio_int", pbig(prio_key, cfg.seed))
     # derive the A-Res key from the already-computed integer priority
     # (same u = (prio+0.5)/2^52 as hashing.u01 — one md5 per unit, not two)
     u = (F.col("prio_int").cast("double") + F.lit(0.5)) / F.lit(TWO_POW_52)
