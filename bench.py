@@ -86,7 +86,8 @@ def _flagship(spark, transcripts_path: str) -> "tuple[float, int]":
     }
     sec = time.time() - t0
     n_input = sum(counts.values())
-    assert set(counts) >= {"sampled_traces", "overflow"}, counts
+    # overflow may legitimately be empty (k >= conversations per window)
+    assert "sampled_traces" in counts and n_input > 0, counts
     return sec, n_input
 
 
