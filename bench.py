@@ -188,6 +188,7 @@ def main_scaling(n_small: int = 8, n_big: int = 32, reps: int = 3) -> None:
     its best observation."""
     best: dict = {}
     turns = None
+    errs: list = []
     for _ in range(reps):
         for cores in (n_small, n_big):
             p = subprocess.run(
@@ -197,11 +198,18 @@ def main_scaling(n_small: int = 8, n_big: int = 32, reps: int = 3) -> None:
             )
             lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
             if not lines:
+                errs.append(f"[cores={cores} rc={p.returncode}] {p.stderr[-2000:]}")
                 continue
             r = json.loads(lines[-1])
             turns = r["turns"]
             if cores not in best or r["sec"] < best[cores]["sec"]:
                 best[cores] = r
+    for cores in (n_small, n_big):
+        if cores not in best:
+            sys.exit(
+                f"scaling: every child run at cores={cores} failed; "
+                "captured child stderr:\n" + "\n---\n".join(errs)
+            )
     tps_small = best[n_small]["tps"]
     tps_big = best[n_big]["tps"]
     eff = (tps_big / tps_small) / (n_big / n_small)

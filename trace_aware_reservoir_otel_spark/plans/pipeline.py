@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Observation, Window as W, functions as F
 
 from trace_aware_reservoir_otel_spark.config import PipelineConfig
 from trace_aware_reservoir_otel_spark.functions.hashing import pbig
@@ -66,6 +66,15 @@ class PipelineResult:
     dlq: DataFrame
     metrics: DataFrame
     winners: DataFrame  # conv-level (window, conv_id, priorities) for state
+    persisted: "list[DataFrame] | None" = None  # unit frames cached by the plan
+
+    def unpersist(self) -> None:
+        """Release the plan's cached unit frames. Call after the last action
+        on the result (write_sinks does this automatically) so long-lived
+        sessions running many pipelines don't accumulate cached partitions."""
+        for df in self.persisted or []:
+            df.unpersist()
+        self.persisted = []
 
 
 def _with_unit_priorities(units: DataFrame, cfg: PipelineConfig, weighted: bool) -> DataFrame:
@@ -93,7 +102,9 @@ def _with_unit_priorities(units: DataFrame, cfg: PipelineConfig, weighted: bool)
 
 
 def _build_units_and_late(
-    valid: DataFrame, cfg: PipelineConfig
+    valid: DataFrame,
+    cfg: PipelineConfig,
+    persisted_out: "list[DataFrame] | None" = None,
 ) -> "tuple[DataFrame, DataFrame | None]":
     """Aggregate the fact to (window, conv) units and classify lateness.
 
@@ -109,7 +120,11 @@ def _build_units_and_late(
         F.min(F.unix_timestamp("ts")).alias("min_ts_s"),
         F.max(F.unix_timestamp("ts")).alias("max_ts_s"),
         F.min("turn_idx").alias("min_turn"),
-        F.min_by(F.unix_timestamp("ts"), "turn_idx").alias("ts_of_min_turn"),
+        # min-of-struct, not min_by: deterministic on duplicate minimal
+        # turn_idx values (ties broken by ts), preserving bit-reproducibility
+        F.min(F.struct(F.col("turn_idx"), F.unix_timestamp("ts").alias("_ts_s")))[
+            "_ts_s"
+        ].alias("ts_of_min_turn"),
     ]
     if weighted:
         aggs.append(F.max(F.col(cfg.weight_col).cast("double")).alias("_w"))
@@ -140,6 +155,8 @@ def _build_units_and_late(
         )
         .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(flagged)
     status = (
         F.when(F.col("max_ts_s") < F.col("cutoff_s"), F.lit("all_late"))
         .when(F.col("min_ts_s") >= F.col("cutoff_s"), F.lit("on_time"))
@@ -182,9 +199,12 @@ def build_routed(
     dim_role: "DataFrame | None" = None,
     dim_tool: "DataFrame | None" = None,
     use_pandas_parse: bool = False,
+    persisted_out: "list[DataFrame] | None" = None,
 ) -> "tuple[DataFrame, DataFrame]":
     """Returns (routed, winners): the single routed frame plus the
-    conv-level winner set (for state checkpointing)."""
+    conv-level winner set (for state checkpointing). If `persisted_out` is
+    given, frames this plan persists are appended so the caller can
+    unpersist them after its final action."""
     parse = with_parsed_fields_pandas if use_pandas_parse else with_parsed_fields
     windowed_raw = with_tumbling_window(transcripts, "ts", cfg.window_duration_s)
     windowed = enrich(
@@ -202,14 +222,18 @@ def build_routed(
     ) else windowed_raw
     valid = unit_src.filter(~invalid)
 
-    units, late_units = _build_units_and_late(valid, cfg)
+    units, late_units = _build_units_and_late(valid, cfg, persisted_out)
     # units/late_units are conv-level (orders of magnitude smaller than the
     # fact) and are consumed by several broadcast subplans — persist so the
     # unit pre-aggregation scans the fact exactly once. Bounded memory:
     # O(#conversation-windows), never O(rows).
     units = units.persist()
+    if persisted_out is not None:
+        persisted_out.append(units)
     if late_units is not None:
         late_units = late_units.persist()
+        if persisted_out is not None:
+            persisted_out.append(late_units)
 
     # deterministic capacity: conversations beyond the per-window cap are
     # evicted whole (replacement for LRU, trace_buffer.go:107-110)
@@ -328,8 +352,9 @@ def run_pipeline(
     use_pandas_parse: bool = False,
 ) -> PipelineResult:
     raw_cols = transcripts.columns
+    persisted: "list[DataFrame]" = []
     routed, winners = build_routed(
-        transcripts, cfg, dim_role, dim_tool, use_pandas_parse
+        transcripts, cfg, dim_role, dim_tool, use_pandas_parse, persisted
     )
 
     sampled = routed.filter(F.col("sink") == "sampled_traces").drop("sink", "reason")
@@ -362,26 +387,39 @@ def run_pipeline(
         dlq=dlq,
         metrics=metrics,
         winners=winners,
+        persisted=persisted,
     )
 
 
 def write_sinks(result: PipelineResult, out_dir: str) -> "dict[str, int]":
     """Single-pass fan-out: the routed frame is written ONCE partitioned by
-    (sink, window bucket) — Iceberg-shaped layout, one scan of the fact."""
-    spark = result.routed.sparkSession
+    (sink, window bucket) — Iceberg-shaped layout, one scan of the fact.
+
+    Per-sink counts come from the Observation API attached to the write
+    itself (operators/metrics.py) — zero extra passes; the written output
+    is never re-read (analog of the reference's counter gate,
+    metrics.go:47-142)."""
+    from trace_aware_reservoir_otel_spark.operators.metrics import observed_routed
+
+    observed, obs = observed_routed(result.routed)
     (
-        result.routed.withColumn(
+        observed.withColumn(
             "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
         )
         .write.mode("overwrite")
         .partitionBy("sink", "window_part")
         .parquet(f"{out_dir}/routed")
     )
-    result.metrics.write.mode("overwrite").parquet(f"{out_dir}/metrics")
-    routed = spark.read.parquet(f"{out_dir}/routed")
+    vals = obs.get
+    mobs = Observation("taro_metrics_rows")
+    result.metrics.observe(mobs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/metrics")
     counts = {
-        r["sink"]: r["n"]
-        for r in routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n")).collect()
+        "sampled_traces": int(vals["rows_sampled"]),
+        "overflow": int(vals["rows_overflow"]),
+        "dlq": int(vals["rows_dlq"]),
+        "metrics": int(mobs.get["n"]),
     }
-    counts["metrics"] = spark.read.parquet(f"{out_dir}/metrics").count()
-    return counts
+    result.unpersist()
+    return {k: v for k, v in counts.items() if k == "metrics" or v > 0}

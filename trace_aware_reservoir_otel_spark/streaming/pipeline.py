@@ -163,7 +163,9 @@ def run_incremental(
                 F.min(F.unix_timestamp("ts")).alias("min_ts_s"),
                 F.max(F.unix_timestamp("ts")).alias("max_ts_s"),
                 F.min("turn_idx").alias("min_turn"),
-                F.min_by(F.unix_timestamp("ts"), "turn_idx").alias("ts_of_min_turn"),
+                F.min(
+                    F.struct(F.col("turn_idx"), F.unix_timestamp("ts").alias("_ts_s"))
+                )["_ts_s"].alias("ts_of_min_turn"),
             )
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
         )
@@ -189,7 +191,9 @@ def merged_units(spark: SparkSession, state_dir: str, cfg: PipelineConfig) -> Da
         F.min("min_ts_s").alias("min_ts_s"),
         F.max("max_ts_s").alias("max_ts_s"),
         F.min("min_turn").alias("min_turn"),
-        F.min_by("ts_of_min_turn", "min_turn").alias("ts_of_min_turn"),
+        F.min(F.struct(F.col("min_turn"), F.col("ts_of_min_turn").alias("_t")))[
+            "_t"
+        ].alias("ts_of_min_turn"),
     )
     prio_key = F.concat(
         F.col("window_start_s").cast("string"), F.lit(":"), F.col("conv_id")
