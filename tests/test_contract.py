@@ -46,11 +46,9 @@ def duck():
 
 
 def test_every_query_has_oracle():
-    missing = set(QUERIES) - set(ORACLES)
-    # non-SQL-expressible ops may legitimately omit an oracle; list them
-    # explicitly so additions are deliberate
-    allowed_no_oracle = {"multimodal_media_stats"}
-    assert missing <= allowed_no_oracle
+    # every contract query now carries a DuckDB oracle (round 2 closed the
+    # multimodal gap by making synthesize_media hash-portable)
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_no_oracle_queries_still_run(spark):

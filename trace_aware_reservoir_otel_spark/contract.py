@@ -792,17 +792,56 @@ def _oracle_parse_pandas() -> str:
 
 
 def _q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas binary plumbing (decode stubbed — see multimodal.py);
-    no SQL oracle: driver records the weaker rows-only check."""
+    """mapInPandas binary plumbing (decode stubbed — see multimodal.py).
+
+    Oracle-checked: payload = utf-8(text), payload_hash = first 8 md5
+    bytes >> 1, media_type = pbig(text) % 3 — all replayable in DuckDB, so
+    the Arrow batch path's n_items/total_bytes/distinct_payloads are
+    verified value-exactly, not just rows-only."""
+    from pyspark.sql import functions as F
+
     from trace_aware_reservoir_otel_spark.operators.multimodal import (
         extract_features,
         media_stats,
         synthesize_media,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = synthesize_media(docs)
-    return media_stats(extract_features(media)).orderBy("media_type")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    media = synthesize_media(docs, portable=True, seed=SEED)
+    return media_stats(extract_features(media))
+
+
+def _oracle_multimodal_stats() -> str:
+    # replay of synthesize_media(portable) + extract_features + media_stats:
+    # payload bytes are the utf-8 text, so md5(payload) == md5(text) and
+    # n_bytes == strlen(text); payload_hash = big-endian first 8 md5 bytes
+    # with the sign bit shifted off (multimodal.py stable_hash)
+    mt = (
+        "case cast(cast('0x' || substr(md5('42:' || text), 1, 13) as bigint) % 3 as int)"
+        " when 0 then 'image' when 1 then 'audio' else 'video' end"
+    )
+    ph = (
+        "cast((cast(cast('0x' || substr(md5(text), 1, 8) as bigint) as hugeint)"
+        " * 4294967296 + cast('0x' || substr(md5(text), 9, 8) as bigint)) >> 1"
+        " as bigint)"
+    )
+    return f"""
+    with media as (
+      select {mt} as media_type,
+             cast(strlen(text) as bigint) as n_bytes,
+             {ph} as payload_hash
+      from documents
+      where text is not null
+    )
+    select media_type,
+           cast(count(*) as bigint) as n_items,
+           cast(sum(n_bytes) as bigint) as total_bytes,
+           cast(count(distinct payload_hash) as bigint) as distinct_payloads
+    from media
+    group by media_type
+    """
 
 
 def _library_queries():
@@ -821,6 +860,5 @@ def _library_oracles():
         "lib_trace_sample_events": _oracle_lib_trace_sample_events(),
         "flagship_pipeline": _oracle_flagship(),
         "parse_tool_calls_pandas_udf": _oracle_parse_pandas(),
-        # multimodal_media_stats: intentionally no oracle (mapInPandas
-        # binary plumbing is not SQL-expressible; rows-only check)
+        "multimodal_media_stats": _oracle_multimodal_stats(),
     }

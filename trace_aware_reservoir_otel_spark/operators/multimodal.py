@@ -43,11 +43,27 @@ FEATURE_SCHEMA = T.StructType(
 _FEATURE_DIM = 8
 
 
-def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def synthesize_media(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    seed: int = 42,
+) -> DataFrame:
     """Deterministic fake media table from a text table: payload = utf-8
     bytes of the text, media_type/dims derived by hash. Stands in for a
-    real binary ingest (S3 blobs / Iceberg binary columns)."""
-    h = F.xxhash64(F.col(text_col))
+    real binary ingest (S3 blobs / Iceberg binary columns).
+
+    `portable=True` derives media_type/dims from the md5-based `pbig`
+    instead of xxhash64, so a DuckDB oracle can replay the downstream
+    media_stats aggregation bit-exactly (payload_hash is md5-based in the
+    featurizer already)."""
+    if portable:
+        from trace_aware_reservoir_otel_spark.functions.hashing import pbig
+
+        h = pbig(F.col(text_col), seed)
+    else:
+        h = F.xxhash64(F.col(text_col))
     mt = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(h, F.lit(3)) + 1).cast("int"),
