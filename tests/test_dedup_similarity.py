@@ -170,3 +170,20 @@ def test_multimodal_plumbing(spark, docs):
         feats.agg(F.countDistinct("payload_hash").alias("d")).collect()[0]["d"]
     )
     assert tot_distinct == 4
+
+
+def test_ngram_jaccard_df_cap_kills_hot_shingle(spark):
+    # degenerate fixture: every doc shares one cliché shingle; without the
+    # df-cap the equi-join is quadratic (n^2/2 pairs). With max_df below
+    # the clique size, only genuinely-similar pairs survive.
+    n = 200
+    rows = [(i, f"click here now unique{i} token{i} phrase{i}") for i in range(n)]
+    rows.append((n, rows[0][1]))  # one true duplicate of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.5, max_df=50).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert got == {(0, n)}  # the hot shingle contributed no pairs
+    # uncapped control on a small slice: the shared shingle links everything
+    small = spark.createDataFrame(rows[:20], "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(small, n=3, threshold=0.01, max_df=None)
+    assert uncapped.count() == 19 * 20 // 2

@@ -18,6 +18,7 @@ BANDS = 4
 SHINGLE_N = 3
 SEED = 42
 JACCARD_T = 0.5
+MAX_DF = 1000
 ANN_K = 10
 BUCKET_DIMS = (0, 8, 16, 24)
 SIM_BITS = 52
@@ -142,17 +143,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trace_aware_reservoir_otel_spark.operators.dedup import ngram_jaccard_pairs
 
     aug = _aug_docs(spark, sf_dir)
-    return ngram_jaccard_pairs(aug, n=SHINGLE_N, threshold=JACCARD_T)
+    return ngram_jaccard_pairs(aug, n=SHINGLE_N, threshold=JACCARD_T, max_df=MAX_DF)
 
 
 def oracle_ngram_jaccard() -> str:
+    # shc = df-capped shingles (shingles shared by > MAX_DF docs dropped),
+    # mirroring the operator's hot-shingle anti-join
     return (
         "with\n" + _shingle_ctes() + ",\n"
-        "    sizes as (select doc_id, cast(count(*) as bigint) as sz from sh group by doc_id),\n"
+        "    shc as (\n"
+        "      select sh.doc_id, sh.sh from sh\n"
+        "      join (select sh as s2, count(*) as cd from sh group by sh) d\n"
+        f"        on sh.sh = d.s2 where d.cd <= {MAX_DF}\n"
+        "    ),\n"
+        "    sizes as (select doc_id, cast(count(*) as bigint) as sz from shc group by doc_id),\n"
         "    inter as (\n"
         "      select a.doc_id as doc_a, b.doc_id as doc_b,\n"
         "             cast(count(*) as bigint) as n_common\n"
-        "      from sh a join sh b on a.sh = b.sh and a.doc_id < b.doc_id\n"
+        "      from shc a join shc b on a.sh = b.sh and a.doc_id < b.doc_id\n"
         "      group by a.doc_id, b.doc_id\n"
         "    )\n"
         "    select doc_a, doc_b, n_common,\n"

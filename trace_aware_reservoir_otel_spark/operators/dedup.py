@@ -171,18 +171,40 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     candidates: "DataFrame | None" = None,
+    max_df: "int | None" = 1000,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (>= threshold).
 
     Without `candidates`, pairs come from the shingle equi-join (every
     co-shingled pair); with `candidates` (e.g. LSH output) only those
     pairs are scored — the scalable composition is
-    lsh_candidate_pairs |> ngram_jaccard_pairs."""
+    lsh_candidate_pairs |> ngram_jaccard_pairs.
+
+    `max_df` (document-frequency cap, the standard df-cap of corpus dedup)
+    drops shingles shared by more than `max_df` documents BEFORE the
+    equi-join: one stock 3-gram shared by 10^6 docs would otherwise emit
+    10^12 join rows. The hot-shingle set is tiny (it scales with the
+    number of cliché phrases, not the corpus) so it broadcasts as an
+    anti-join; sizes and Jaccard are computed over the capped shingle sets
+    on both engine and oracle, keeping the metric self-consistent.
+
+    `broadcast_candidates=False` switches the candidate restriction to a
+    shuffle join — required when the candidate pair set exceeds broadcast
+    limits (e.g. LSH output over a web-scale corpus)."""
     sh = (
         with_shingles(df, n, text_col)
         .select(id_col, F.explode("shingles").alias("sh"))
         .distinct()
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), on="sh", how="left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
@@ -193,9 +215,10 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     if candidates is not None:
-        inter = inter.join(
-            F.broadcast(candidates.select("doc_a", "doc_b")), on=["doc_a", "doc_b"]
-        )
+        cand = candidates.select("doc_a", "doc_b")
+        if broadcast_candidates:
+            cand = F.broadcast(cand)
+        inter = inter.join(cand, on=["doc_a", "doc_b"])
     sza = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     szb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     out = (
