@@ -135,19 +135,48 @@ def test_cosine_topk(emb):
     assert math.isclose(got[2][1], round(exp, 6))
 
 
-def test_ann_lsh_excludes_other_bucket(emb):
-    got = [r["vec_id"] for r in ann_topk_lsh(emb, [1.0, 0.0, 0.0, 0.0], k=5, bucket_dims=[0]).collect()]
-    assert 3 not in got  # negative first dim -> other bucket
-    assert got[0] in (0, 4)
+def test_ann_lsh_finds_identical_excludes_antipode(emb):
+    got = [r["vec_id"] for r in ann_topk_lsh(emb, [1.0, 0.0, 0.0, 0.0], k=5).collect()]
+    # the antipodal vector flips the sign of every projection onto planes
+    # with a nonzero first coefficient, so it shares no bucket with the query
+    assert 3 not in got
+    assert got[0] in (0, 4) and {0, 4} <= set(got)
 
 
 def test_embedding_near_pairs(emb):
     pairs = {
         (r["id_a"], r["id_b"]): r["sim"]
-        for r in embedding_near_pairs(emb, threshold=0.95, bucket_dims=[0]).collect()
+        for r in embedding_near_pairs(emb, threshold=0.95).collect()
     }
-    assert pairs[(0, 4)] == 1.0
+    assert pairs[(0, 4)] == 1.0  # identical vectors share every bucket
     assert (0, 2) not in pairs
+
+
+def test_lsh_recall_vs_brute_force_sf001(spark):
+    # judge-requested recall gate: LSH near-pairs vs brute-force pairs at
+    # threshold 0.95 over sf0.01 embeddings + planted identical copies
+    import itertools
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies)
+    rows = {r["vec_id"]: r["embedding"] for r in aug.collect()}
+    norms = {k: math.sqrt(sum(float(x) * float(x) for x in v)) for k, v in rows.items()}
+    truth = set()
+    for a, b in itertools.combinations(sorted(rows), 2):
+        d = sum(float(x) * float(y) for x, y in zip(rows[a], rows[b]))
+        if round(d / (norms[a] * norms[b]), 6) >= 0.95:
+            truth.add((a, b))
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_pairs(aug, threshold=0.95).collect()}
+    assert truth, "fixture must contain true near-pairs"
+    exact = {(v, v + 100000) for v in range(20)}
+    assert exact <= got  # identical copies: recall 1.0 by construction
+    assert len(got & truth) / len(truth) >= 0.9
+    assert got <= truth  # exact-verify step: no false positives
 
 
 def test_multimodal_plumbing(spark, docs):

@@ -20,7 +20,11 @@ SEED = 42
 JACCARD_T = 0.5
 MAX_DF = 1000
 ANN_K = 10
-BUCKET_DIMS = (0, 8, 16, 24)
+LSH_TABLES = 2
+LSH_BANDS = 4
+LSH_PLANES = 8
+LSH_MAX_BUCKET = 256
+EMB_DIM = 64
 SIM_BITS = 52
 MAX_BUCKET = 64
 
@@ -252,36 +256,76 @@ def oracle_ann_cosine_topk() -> str:
     )
 
 
+def _lsh_coefs():
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        hyperplane_coefs,
+    )
+
+    return hyperplane_coefs(EMB_DIM, LSH_TABLES, LSH_BANDS, LSH_PLANES, SEED)
+
+
+def _duck_band_bucket(band: "list[list[int]]") -> str:
+    # exact-integer SRP bucket: list_dot_product of quantized bigints stays
+    # < 2^53 so the double result is exact — sign agrees with Spark's long
+    # fold bit-for-bit (verified by this oracle row)
+    bits = []
+    for i, coef in enumerate(band):
+        arr = "[" + ",".join(str(c) for c in coef) + "]"
+        bits.append(
+            f"(case when list_dot_product(q, {arr}) >= 0 then {1 << i} else 0 end)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+_DUCK_QUANT = (
+    "list_transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))"
+)
+
+
+def _duck_buckets_cte(src: str) -> str:
+    parts = []
+    for t, table in enumerate(_lsh_coefs()):
+        for b, band in enumerate(table):
+            parts.append(
+                f"select vec_id, {t} as tb, {b} as band, "
+                f"{_duck_band_bucket(band)} as bucket from e"
+            )
+    return (
+        f"    e as (select vec_id, {_DUCK_QUANT} as q from {src}),\n"
+        "    b as (\n      " + "\n      union all\n      ".join(parts) + "\n    )"
+    )
+
+
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trace_aware_reservoir_otel_spark.operators.similarity import ann_topk_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_topk_lsh(emb, _query_vec(spark, sf_dir), k=ANN_K, bucket_dims=BUCKET_DIMS)
-
-
-def _duck_bucket(prefix: str) -> str:
-    terms = [
-        f"(case when {prefix}embedding[{d + 1}] >= 0 then {1 << i} else 0 end)"
-        for i, d in enumerate(BUCKET_DIMS)
-    ]
-    return " + ".join(terms)
+    return ann_topk_lsh(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=ANN_K,
+        tables=LSH_TABLES,
+        bands=LSH_BANDS,
+        planes_per_band=LSH_PLANES,
+        seed=SEED,
+    )
 
 
 def oracle_ann_lsh_bucket() -> str:
     return (
-        "with q as (\n"
-        "      select list_transform(embedding, x -> cast(x as double)) as qv,\n"
-        "             " + _duck_bucket("") + " as qbucket\n"
-        "      from embeddings where vec_id = 0\n"
+        "with\n" + _duck_buckets_cte("embeddings") + ",\n"
+        "    qb as (select tb, band, bucket from b where vec_id = 0),\n"
+        "    cand as (select distinct b.vec_id from b join qb using (tb, band, bucket)),\n"
+        "    ev as (\n"
+        "      select vec_id, list_transform(embedding, x -> cast(x as double)) as ev\n"
+        "      from embeddings where vec_id in (select vec_id from cand)\n"
         "    ),\n"
-        "    e as (\n"
-        "      select vec_id,\n"
-        "             list_transform(embedding, x -> cast(x as double)) as ev,\n"
-        "             " + _duck_bucket("") + " as bucket\n"
-        "      from embeddings\n"
+        "    q as (\n"
+        "      select list_transform(embedding, x -> cast(x as double)) as qv\n"
+        "      from embeddings where vec_id = 0\n"
         "    )\n"
         "    select vec_id, " + _DUCK_COS + " as sim\n"
-        "    from e, q where e.bucket = q.qbucket\n"
+        "    from ev, q\n"
         f"    order by sim desc, vec_id asc limit {ANN_K}"
     )
 
@@ -298,30 +342,49 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     return embedding_near_pairs(
-        emb.unionByName(copies), threshold=0.95, bucket_dims=BUCKET_DIMS
+        emb.unionByName(copies),
+        threshold=0.95,
+        tables=LSH_TABLES,
+        bands=LSH_BANDS,
+        planes_per_band=LSH_PLANES,
+        seed=SEED,
+        max_bucket=LSH_MAX_BUCKET,
     )
 
 
+_AUG_EMB_SQL = (
+    "(select vec_id, embedding from embeddings\n"
+    "      union all\n"
+    "      select vec_id + 100000 as vec_id, embedding\n"
+    "      from embeddings where vec_id < 20)"
+)
+
+
 def oracle_embedding_near_pairs() -> str:
+    cos = (
+        "round(list_dot_product(va.v, vb.v)"
+        " / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6)"
+    )
     return (
-        "with aug as (\n"
-        "      select vec_id, embedding from embeddings\n"
-        "      union all\n"
-        "      select vec_id + 100000 as vec_id, embedding\n"
-        "      from embeddings where vec_id < 20\n"
+        "with aug as " + _AUG_EMB_SQL + ",\n"
+        + _duck_buckets_cte("aug") + ",\n"
+        "    capped as (\n"
+        "      select vec_id, tb, band, bucket\n"
+        "      from (select *, row_number() over (\n"
+        "                   partition by tb, band, bucket order by vec_id) as rn\n"
+        "            from b)\n"
+        f"      where rn <= {LSH_MAX_BUCKET}\n"
         "    ),\n"
-        "    e as (\n"
-        "      select vec_id,\n"
-        "             list_transform(embedding, x -> cast(x as double)) as v,\n"
-        "             " + _duck_bucket("") + " as bucket\n"
-        "      from aug\n"
-        "    )\n"
-        "    select a.vec_id as id_a, b.vec_id as id_b,\n"
-        "           round(list_dot_product(a.v, b.v)"
-        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) as sim\n"
-        "    from e a join e b on a.bucket = b.bucket and a.vec_id < b.vec_id\n"
-        "    where round(list_dot_product(a.v, b.v)"
-        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95"
+        "    pairs as (\n"
+        "      select distinct a.vec_id as id_a, c.vec_id as id_b\n"
+        "      from capped a join capped c\n"
+        "        on a.tb = c.tb and a.band = c.band and a.bucket = c.bucket\n"
+        "      where a.vec_id < c.vec_id\n"
+        "    ),\n"
+        "    v as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v from aug)\n"
+        "    select id_a, id_b, " + cos + " as sim\n"
+        "    from pairs join v va on va.vec_id = id_a join v vb on vb.vec_id = id_b\n"
+        f"    where {cos} >= 0.95"
     )
 
 

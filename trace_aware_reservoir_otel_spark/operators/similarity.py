@@ -1,24 +1,57 @@
 """Similarity search over embedding columns (array<float>).
 
 Training-data-pipeline ops (no reference analog): brute-force cosine
-top-k as the exact baseline, and a deterministic LSH-bucketed variant as
-the scale path. All arithmetic uses F.zip_with / F.aggregate (sequential
-fold — deterministic summation order, reproducible across partitionings)
-rather than exploded sums.
+top-k as the exact baseline, and a banded random-hyperplane LSH as the
+scale path.
 
-Scale notes: brute-force against a single query vector is a narrow scan
-(no shuffle, TakeOrderedAndProject top-k). Pairwise near-dup uses sign-bit
-LSH buckets so the self-join is bucket-local; at 10^9 vectors you shard
-buckets further (more planes) — plane count is the knob.
+LSH scheme (mirrors the MinHash-LSH structure in operators/dedup.py):
+
+ - `tables` independent hash tables, each with `bands` bands of
+   `planes_per_band` random hyperplanes — seed-derived ±1 coefficient
+   vectors (SRP / sign-random-projection, the standard cosine LSH);
+ - a vector's bucket in (table, band) is the integer formed by the sign
+   bits of its projections onto that band's planes;
+ - candidate pairs share at least one (table, band, bucket); per-bucket
+   membership is capped at `max_bucket` rows (skew guard: a degenerate
+   bucket — e.g. all-zero embeddings — cannot go quadratic);
+ - candidates are then verified with exact cosine.
+
+Scale knobs: `planes_per_band` controls bucket granularity
+(2^planes_per_band buckets per band — raise it as the corpus grows so
+expected bucket size stays O(1..10^3)); `bands * tables` controls recall
+(a true near-pair is missed only if every band of every table splits it).
+At 10^9 vectors: planes_per_band=20 (~10^6 buckets/band), bands=4,
+tables=2 keeps bucket-local self-joins bounded while multi-band/multi-
+table OR-construction recovers the recall a single coarse bucketing loses.
+
+Determinism / oracle portability: embedding components are quantized to
+integers (floor(x * 10^6)) before projection, so the sign of a projection
+is exact integer arithmetic — bit-identical in Spark (long fold) and
+DuckDB (list_dot_product of values < 2^53 is exact in doubles). No float
+summation-order hazard can flip a bucket. Coefficients derive from
+md5(seed:table:band:plane:dim) — the same portable construction as
+functions/hashing.pbig — computed driver-side and embedded as literals in
+both plans.
+
+Exact cosine uses F.zip_with / F.aggregate (sequential fold —
+deterministic summation order, reproducible across partitionings).
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+QUANT = 1_000_000  # embedding quantization for exact-integer projections
 
 
 def _to_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _quantized(col: Column) -> Column:
+    return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -47,6 +80,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force top-k by cosine similarity to a constant query.
 
+    Narrow scan + TakeOrderedAndProject — the exact baseline at any scale.
     Rounding the similarity (default 6 digits) before ranking makes the
     result robust to last-ulp float summation differences across engines
     (ties broken by id)."""
@@ -59,64 +93,198 @@ def cosine_topk(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
 
 
-def signbit_bucket(
-    vec_col: Column, dims: "list[int]"
-) -> Column:
-    """Deterministic LSH bucket id: sign bits of selected dimensions
-    (axis-aligned hyperplanes — fully portable, no random planes)."""
-    out = F.lit(0)
-    for i, d in enumerate(dims):
-        bit = F.when(vec_col[d].cast("double") >= 0, F.lit(1)).otherwise(F.lit(0))
-        out = out + bit * F.lit(1 << i)
-    return out.cast("int")
+# --- seeded random-hyperplane LSH --------------------------------------------
+
+
+def hyperplane_coefs(
+    dim: int,
+    tables: int = 2,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+) -> "list[list[list[list[int]]]]":
+    """±1 coefficients, coefs[t][b][p][d] — pure function of the seed.
+
+    Derivation is the portable md5 scheme of functions/hashing.pbig
+    (md5('{seed}:plane:{t}:{b}:{p}:{d}'), first 13 hex nibbles, parity),
+    computed driver-side so Spark and the DuckDB oracle embed the SAME
+    literal planes."""
+    return [
+        [
+            [
+                [
+                    1
+                    if int(
+                        hashlib.md5(
+                            f"{seed}:plane:{t}:{b}:{p}:{d}".encode()
+                        ).hexdigest()[:13],
+                        16,
+                    )
+                    % 2
+                    == 0
+                    else -1
+                    for d in range(dim)
+                ]
+                for p in range(planes_per_band)
+            ]
+            for b in range(bands)
+        ]
+        for t in range(tables)
+    ]
+
+
+def _projection(qv: Column, coef: "list[int]") -> Column:
+    """Exact-integer projection of the quantized vector onto a ±1 plane."""
+    plane = F.array(*[F.lit(c).cast("long") for c in coef])
+    return F.aggregate(
+        F.zip_with(qv, plane, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _bucket_expr(qv: Column, band_coefs: "list[list[int]]") -> Column:
+    out = F.lit(0).cast("long")
+    for i, coef in enumerate(band_coefs):
+        bit = F.when(_projection(qv, coef) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        out = out + bit.cast("long")
+    return out
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    coefs: "list[list[list[list[int]]]]",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, tb, band, bucket) — one row per (table, band); narrow (no
+    vector payload), so the bucket shuffle moves ids + 3 ints only."""
+    qv = _quantized(F.col(vec_col))
+    entries = []
+    for t, table in enumerate(coefs):
+        for b, band in enumerate(table):
+            entries.append(
+                F.struct(
+                    F.lit(t).alias("tb"),
+                    F.lit(b).alias("band"),
+                    _bucket_expr(qv, band).alias("bucket"),
+                )
+            )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, "e.tb", "e.band", "e.bucket")
+
+
+def query_buckets(
+    query_vec: "list[float]", coefs: "list[list[list[list[int]]]]"
+) -> "list[tuple[int, int, int]]":
+    """Driver-side bucket ids for a constant query vector — the same exact
+    integer math as `hyperplane_buckets` (floor-quantize then ±1 dot)."""
+    import math
+
+    q = [math.floor(float(x) * QUANT) for x in query_vec]
+    out = []
+    for t, table in enumerate(coefs):
+        for b, band in enumerate(table):
+            bucket = 0
+            for i, coef in enumerate(band):
+                if sum(c * x for c, x in zip(coef, q)) >= 0:
+                    bucket |= 1 << i
+            out.append((t, b, bucket))
+    return out
 
 
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: "list[float]",
     k: int = 10,
-    bucket_dims: "list[int]" = (0, 8, 16, 24),
+    tables: int = 2,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: "int | None" = 6,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's sign-bit
-    bucket (the 1/2^planes candidate slice), then exact cosine rank."""
-    dims = list(bucket_dims)
-    qbucket = sum((1 << i) for i, d in enumerate(dims) if query_vec[d] >= 0)
-    cand = df.filter(signbit_bucket(F.col(vec_col), dims) == qbucket)
+    """Approximate top-k: exact cosine over only the vectors sharing at
+    least one (table, band, bucket) with the query — a multi-probe OR over
+    tables*bands buckets, so recall does not collapse as planes_per_band
+    grows (the round-1 single-table 16-bucket ceiling is gone)."""
+    coefs = hyperplane_coefs(len(query_vec), tables, bands, planes_per_band, seed)
+    qb = set(query_buckets(query_vec, coefs))
+    buckets = hyperplane_buckets(df, coefs, vec_col, id_col)
+    match = buckets.filter(
+        F.struct("tb", "band", "bucket").isin(
+            [
+                F.struct(F.lit(t), F.lit(b), F.lit(v).cast("long"))
+                for (t, b, v) in sorted(qb)
+            ]
+        )
+    )
+    cand_ids = match.select(id_col).distinct()
+    cand = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
     return cosine_topk(cand, query_vec, k, vec_col, id_col, round_digits)
 
 
 def embedding_near_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    bucket_dims: "list[int]" = (0, 8, 16, 24),
+    tables: int = 2,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    max_bucket: int = 256,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: "int | None" = 6,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within LSH buckets.
+    """Embedding-cosine near-duplicate pairs via banded SRP-LSH.
 
-    Recall caveat (standard LSH tradeoff): pairs straddling a bucket
-    boundary are missed; raise recall with multiple bucket tables."""
-    dims = list(bucket_dims)
-    with_b = df.select(
-        F.col(id_col), _to_double(F.col(vec_col)).alias("_v"),
-        signbit_bucket(F.col(vec_col), dims).alias("_bucket"),
+    Plan shape at scale: the bucket frame is narrow (id + 3 ints); the
+    bucket-local self-join is capped at `max_bucket`; candidate pairs are
+    verified with exact cosine by joining vectors back (the corpus
+    shuffles once on id, never pairwise). Identical vectors share every
+    bucket, so exact-duplicate recall is 1.0 by construction; near-pair
+    recall is the OR over tables*bands band-collisions."""
+    coefs = hyperplane_coefs(
+        _dim_of(df, vec_col), tables, bands, planes_per_band, seed
     )
-    a = with_b.select(
-        F.col("_bucket"), F.col(id_col).alias("id_a"), F.col("_v").alias("va")
+    buckets = hyperplane_buckets(df, coefs, vec_col, id_col)
+    from pyspark.sql import Window as W
+
+    wb = W.partitionBy("tb", "band", "bucket").orderBy(id_col)
+    capped = (
+        buckets.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
     )
-    b = with_b.select(
-        F.col("_bucket"), F.col(id_col).alias("id_b"), F.col("_v").alias("vb")
+    a = capped.select("tb", "band", "bucket", F.col(id_col).alias("id_a"))
+    b = capped.select("tb", "band", "bucket", F.col(id_col).alias("id_b"))
+    pairs = (
+        a.join(b, on=["tb", "band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sim = cosine(F.col("va"), F.col("vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"), _to_double(F.col(vec_col)).alias("_va")
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), _to_double(F.col(vec_col)).alias("_vb")
+    )
+    sim = cosine(F.col("_va"), F.col("_vb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
-        a.join(b, on="_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(va, on="id_a")
+        .join(vb, on="id_b")
         .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        return 0
+    return int(row["d"])
