@@ -101,19 +101,13 @@ def _with_unit_priorities(units: DataFrame, cfg: PipelineConfig, weighted: bool)
     return with_int.withColumn("ares_key", ares)
 
 
-def _build_units_and_late(
-    valid: DataFrame,
-    cfg: PipelineConfig,
-    persisted_out: "list[DataFrame] | None" = None,
-) -> "tuple[DataFrame, DataFrame | None]":
-    """Aggregate the fact to (window, conv) units and classify lateness.
-
-    Returns (units, late_units):
-      units      : on-time (window, conv, n_turns[, _w]) with priorities —
-                   the reservoir's sampling population;
-      late_units : (window, conv, status, cutoff_s) for all-late/boundary
-                   units, or None when late detection is disabled.
-    """
+def _unit_pre_aggregate(valid: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The associative per-(window, conv) partial aggregate — the ONLY
+    reduction of the fact table the engine ever makes. Every consumer
+    (batch plan, checkpoint state, streaming micro-batches) computes this
+    same frame; partials over any disjoint cover of the input merge back
+    with `_merge_pre` (sum/min/max/min-struct are associative and
+    replay-order-free)."""
     weighted = cfg.weight_col is not None
     aggs = [
         F.count(F.lit(1)).alias("n_all"),
@@ -128,8 +122,55 @@ def _build_units_and_late(
     ]
     if weighted:
         aggs.append(F.max(F.col(cfg.weight_col).cast("double")).alias("_w"))
-    pre = valid.groupBy("window_start_s", "conv_id").agg(*aggs)
+    return valid.groupBy("window_start_s", "conv_id").agg(*aggs)
 
+
+def _merge_pre(pre: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Merge `_unit_pre_aggregate` partials from overlapping covers of the
+    input (streaming micro-batches, checkpoint slices) back into the exact
+    unit frame an uninterrupted aggregation would produce."""
+    weighted = cfg.weight_col is not None
+    aggs = [
+        F.sum("n_all").cast("long").alias("n_all"),
+        F.min("min_ts_s").alias("min_ts_s"),
+        F.max("max_ts_s").alias("max_ts_s"),
+        F.min("min_turn").alias("min_turn"),
+        F.min(F.struct(F.col("min_turn"), F.col("ts_of_min_turn").alias("_t")))[
+            "_t"
+        ].alias("ts_of_min_turn"),
+    ]
+    if weighted:
+        aggs.append(F.max("_w").alias("_w"))
+    return pre.groupBy("window_start_s", "conv_id").agg(*aggs)
+
+
+def _build_units_and_late(
+    valid: DataFrame,
+    cfg: PipelineConfig,
+    persisted_out: "list[DataFrame] | None" = None,
+) -> "tuple[DataFrame, DataFrame | None]":
+    """Aggregate the fact to (window, conv) units and classify lateness."""
+    pre = _unit_pre_aggregate(valid, cfg)
+    return _units_from_pre(pre, valid, cfg, persisted_out)
+
+
+def _units_from_pre(
+    pre: DataFrame,
+    valid: DataFrame,
+    cfg: PipelineConfig,
+    persisted_out: "list[DataFrame] | None" = None,
+) -> "tuple[DataFrame, DataFrame | None]":
+    """Classify lateness over a unit pre-aggregate and return the sampling
+    population. `valid` is consulted ONLY for the (rare) boundary units'
+    row-level fix-up, via a broadcast semi-join.
+
+    Returns (units, late_units):
+      units      : on-time (window, conv, n_turns[, _w]) with priorities —
+                   the reservoir's sampling population;
+      late_units : (window, conv, status, cutoff_s) for all-late/boundary
+                   units, or None when late detection is disabled.
+    """
+    weighted = cfg.weight_col is not None
     if cfg.late_tolerance_s is None:
         units = pre.select(
             "window_start_s",
@@ -193,6 +234,42 @@ def _build_units_and_late(
     return _with_unit_priorities(units, cfg, weighted), late_units
 
 
+def capacity_split_units(
+    units: DataFrame, cfg: PipelineConfig
+) -> "tuple[DataFrame, DataFrame | None]":
+    """Deterministic per-window capacity: conversations beyond the cap are
+    evicted whole (replacement for LRU, trace_buffer.go:107-110). Returns
+    (kept_units, evicted_keys-or-None)."""
+    if cfg.buffer_max_convs is None:
+        return units, None
+    wr = W.partitionBy("window_start_s").orderBy(
+        F.col("n_turns").desc(), F.col("conv_id").asc()
+    )
+    ranked = units.withColumn("_cap_rn", F.row_number().over(wr))
+    evicted_keys = ranked.filter(F.col("_cap_rn") > cfg.buffer_max_convs).select(
+        "window_start_s", "conv_id"
+    )
+    kept_units = ranked.filter(F.col("_cap_rn") <= cfg.buffer_max_convs).drop(
+        "_cap_rn"
+    )
+    return kept_units, evicted_keys
+
+
+def capacity_and_winners(
+    units: DataFrame, cfg: PipelineConfig
+) -> "tuple[DataFrame, DataFrame | None, DataFrame]":
+    """Capacity split + conv-level reservoir winners — the shared
+    winner-derivation used by the batch plan, checkpoint finalize, and
+    streaming rollover (pure functions of (seed, window, conv): any path
+    over any input cover derives the same winner set)."""
+    kept_units, evicted_keys = capacity_split_units(units, cfg)
+    winners = topk_units(
+        kept_units, cfg.size_k, "window_start_s", "conv_id",
+        cfg.salt_buckets, cfg.method, cfg.priority,
+    )
+    return kept_units, evicted_keys, winners
+
+
 def build_routed(
     transcripts: DataFrame,
     cfg: PipelineConfig,
@@ -235,20 +312,7 @@ def build_routed(
         if persisted_out is not None:
             persisted_out.append(late_units)
 
-    # deterministic capacity: conversations beyond the per-window cap are
-    # evicted whole (replacement for LRU, trace_buffer.go:107-110)
-    if cfg.buffer_max_convs is not None:
-        wr = W.partitionBy("window_start_s").orderBy(
-            F.col("n_turns").desc(), F.col("conv_id").asc()
-        )
-        ranked = units.withColumn("_cap_rn", F.row_number().over(wr))
-        evicted_keys = ranked.filter(F.col("_cap_rn") > cfg.buffer_max_convs).select(
-            "window_start_s", "conv_id"
-        )
-        kept_units = ranked.filter(F.col("_cap_rn") <= cfg.buffer_max_convs).drop("_cap_rn")
-    else:
-        evicted_keys = None
-        kept_units = units
+    kept_units, evicted_keys = capacity_split_units(units, cfg)
 
     if cfg.trace_aware:
         winners = topk_units(
@@ -283,6 +347,30 @@ def build_routed(
             F.lit(1).cast("long").alias("n_turns"),
         )
 
+    routed = apply_routing(routed, invalid, late_units, evicted_keys)
+    return routed, winners
+
+
+def apply_routing(
+    routed: DataFrame,
+    invalid,
+    late_units: "DataFrame | None" = None,
+    evicted_keys: "DataFrame | None" = None,
+    expired=None,
+) -> DataFrame:
+    """Shared routing tail: turn a fact frame carrying a `_won` flag into
+    the single sink/reason-labelled frame. Used by the batch plan, the
+    checkpoint finalize, and the streaming rollover export so the three
+    paths cannot drift.
+
+    `expired` (optional Column) marks rows of windows already closed at
+    restore time (W3, processor.go:155-174): they route to
+    overflow(reason='window_expired') instead of being re-exported as
+    sampled — the explicit replacement for the reference's silent
+    stale-state discard, without its restore double-count (§2.11.3).
+
+    All decision inputs are conv-level broadcast sets or pure column
+    predicates — the fact is never shuffled here."""
     if late_units is not None:
         routed = routed.join(
             F.broadcast(
@@ -309,8 +397,12 @@ def build_routed(
     else:
         routed = routed.withColumn("_evicted", F.lit(None).cast("boolean"))
 
+    if expired is None:
+        expired = F.lit(False)
+
     sink = (
         F.when(invalid, F.lit("dlq"))
+        .when(expired, F.lit("overflow"))
         .when(late, F.lit("dlq"))
         .when(F.col("_evicted"), F.lit("overflow"))
         .when(F.col("_won"), F.lit("sampled_traces"))
@@ -318,17 +410,17 @@ def build_routed(
     )
     reason = (
         F.when(invalid, F.lit("invalid_key"))
+        .when(expired, F.lit("window_expired"))
         .when(late, F.lit("late"))
         .when(F.col("_evicted"), F.lit("capacity"))
         .when(F.col("_won"), F.lit(None).cast("string"))
         .otherwise(F.lit("unsampled"))
     )
-    routed = (
+    return (
         routed.withColumn("sink", sink)
         .withColumn("reason", reason)
         .drop("_won", "_evicted", "_late_status", "cutoff_s")
     )
-    return routed, winners
 
 
 def _filter_late_rows(rows: DataFrame, late_units: DataFrame) -> DataFrame:
