@@ -22,7 +22,12 @@ from trace_aware_reservoir_otel_spark.streaming.pipeline import (
 )
 from trace_aware_reservoir_otel_spark.synth import generate_transcripts
 
-CFG = PipelineConfig(size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None)
+# hash_impl='md5' because test_incremental_reservoir_equals_batch compares
+# against conversation_units (portable-md5 priorities); merged_units honors
+# cfg.hash_impl, so both sides must pin the same scheme
+CFG = PipelineConfig(
+    size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None, hash_impl="md5"
+)
 
 
 def _write_stream_file(df, in_dir, name):
@@ -132,3 +137,117 @@ def test_incremental_reservoir_equals_batch(spark, tmp_path_factory):
     )
     inc2 = incremental_winners(spark, os.path.join(base, "state"), CFG)
     assert {(r["window_start_s"], r["conv_id"]) for r in inc2.collect()} == w_inc
+
+
+# --- streaming routed fan-out (rollover export) ------------------------------
+
+from trace_aware_reservoir_otel_spark.plans.pipeline import run_pipeline  # noqa: E402
+from trace_aware_reservoir_otel_spark.streaming.pipeline import (  # noqa: E402
+    _write_pre,
+    flush_incremental,
+    incremental_conservation,
+    run_incremental_routed,
+)
+
+
+def _routed_histogram(df):
+    out = {}
+    for r in (
+        df.groupBy("conv_id", "turn_idx", "sink", "reason").count().collect()
+    ):
+        out[(r["conv_id"], r["turn_idx"], r["sink"], r["reason"])] = r["count"]
+    return out
+
+
+def _write_time_ordered_batches(spark, base, cfg, n_convs=150):
+    """Two files split at a window-aligned time cut: event time is ordered
+    across files (the streaming watermark contract), so a window's rows
+    never arrive after it closed."""
+    df = generate_transcripts(spark, n_convs=n_convs, seed=7)
+    w = int(cfg.window_duration_s)
+    lo, hi = df.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    cut = (int((lo + hi) // 2) // w) * w
+    sec = F.unix_timestamp("ts")
+    in_dir = os.path.join(base, "in")
+    _write_stream_file(df.filter(sec < cut), in_dir, "000")
+    _write_stream_file(df.filter(sec >= cut), in_dir, "001")
+    return df, in_dir
+
+
+def test_streaming_routed_equals_batch_rollover(spark, tmp_path_factory):
+    """The reference's hot path IS streaming export at window rollover
+    (processor.go:317-347): union of per-rollover routed outputs must equal
+    the batch pipeline on the same input."""
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42,
+        late_tolerance_s=None, buffer_max_convs=8,
+    )
+    base = str(tmp_path_factory.mktemp("stream_routed"))
+    df, in_dir = _write_time_ordered_batches(spark, base, cfg)
+    state = os.path.join(base, "state")
+    out = os.path.join(base, "out")
+    run_incremental_routed(
+        spark, in_dir, cfg, state, os.path.join(base, "ck"), out
+    )
+    # some windows must have been exported mid-stream (true rollover)
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import _exported_windows
+
+    assert len(_exported_windows(state)) > 0
+    flush_incremental(spark, cfg, state, out)
+    got = _routed_histogram(
+        spark.read.parquet(f"{out}/routed")
+    )
+    exp = _routed_histogram(run_pipeline(df, cfg).routed)
+    assert got == exp
+    rows_in, rows_out = incremental_conservation(spark, state, out)
+    assert rows_in == rows_out == df.count()
+
+
+def test_streaming_routed_late_tolerance_flush(spark, tmp_path_factory):
+    """With late tolerance configured, routing defers to flush (conv starts
+    are global) but still equals the batch pipeline."""
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42,
+        late_tolerance_s=120.0, buffer_max_convs=8,
+    )
+    base = str(tmp_path_factory.mktemp("stream_routed_late"))
+    df, in_dir = _write_time_ordered_batches(spark, base, cfg)
+    state = os.path.join(base, "state")
+    out = os.path.join(base, "out")
+    run_incremental_routed(
+        spark, in_dir, cfg, state, os.path.join(base, "ck"), out
+    )
+    flush_incremental(spark, cfg, state, out)
+    got = _routed_histogram(spark.read.parquet(f"{out}/routed"))
+    exp = _routed_histogram(run_pipeline(df, cfg).routed)
+    assert got == exp
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path_factory):
+    """foreachBatch is at-least-once: re-delivering a batch with the same
+    batch_id must not change merged state (the batch_id-keyed overwrite)."""
+    import glob
+
+    base = str(tmp_path_factory.mktemp("stream_replay"))
+    df, in_dir = _write_batches(spark, base)
+    state = os.path.join(base, "state")
+    run_incremental(
+        spark, in_dir, CFG, state_dir=state,
+        checkpoint_dir=os.path.join(base, "ck"),
+    )
+    before = {
+        (r["window_start_s"], r["conv_id"])
+        for r in incremental_winners(spark, state, CFG).collect()
+    }
+    n_before = spark.read.parquet(f"{state}/pre").count()
+    # replay batch 0 (same content, same id) — simulated mid-write failure retry
+    f0 = sorted(glob.glob(os.path.join(in_dir, "*.parquet")))[0]
+    _write_pre(spark.read.parquet(f0), 0, CFG, state)
+    assert spark.read.parquet(f"{state}/pre").count() == n_before
+    after = {
+        (r["window_start_s"], r["conv_id"])
+        for r in incremental_winners(spark, state, CFG).collect()
+    }
+    assert after == before

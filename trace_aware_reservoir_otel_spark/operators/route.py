@@ -36,12 +36,21 @@ def flag_late(
     """(on_time, late) — late = ts before the conversation's first-turn ts
     by more than tolerance.
 
-    Conversation start is computed with groupBy + min_by (map-side partial
-    aggregation; immune to mega-conversation skew) and joined back on
-    conv_id (AQE skew-join handles the hot key at scale).
+    Conversation start is computed with groupBy + min-of-struct (map-side
+    partial aggregation, deterministic on duplicate minimal turn_idx) and
+    BROADCAST back to the fact — the conv-level set is orders of magnitude
+    smaller than the fact, so the fact is never shuffled (the same
+    unit-frame-broadcast shape as plans/pipeline; for corpora whose
+    conversation count exceeds broadcast limits, use the pipeline's
+    unit-level late classification, which never materializes per-row
+    starts at all).
     """
-    starts = df.groupBy(conv_col).agg(F.min_by(ts_col, idx_col).alias("_conv_start_ts"))
-    joined = df.join(starts, on=conv_col, how="left")
+    starts = df.groupBy(conv_col).agg(
+        F.min(F.struct(F.col(idx_col), F.col(ts_col).alias("_t")))["_t"].alias(
+            "_conv_start_ts"
+        )
+    )
+    joined = df.join(F.broadcast(starts), on=conv_col, how="left")
     is_late = (
         F.unix_timestamp(F.col(ts_col))
         < F.unix_timestamp(F.col("_conv_start_ts")) - F.lit(float(tolerance_s))

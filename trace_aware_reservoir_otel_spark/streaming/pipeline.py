@@ -16,12 +16,24 @@ Spark-first, the same semantics split into three composable pieces:
    reference's trace buffer (accumulate spans per trace, emit on
    inactivity gap, trace_buffer.go:144-185), Arrow-batched, bounded state.
  - `run_incremental`         : foreachBatch incremental reservoir — each
-   micro-batch appends its per-(window,conv) partial aggregates to a
-   state table (associative: sum/min/min_by merges), and the winner set is
-   re-derived from merged state at any point. Because priorities are pure
-   functions of (seed, window, conv), the incremental winner set after N
-   batches equals the batch pipeline's winner set on the union of inputs —
-   checkpoint/restart-safe by construction (fixes §2.11.3 double-count).
+   micro-batch writes its per-(window,conv) partial aggregates to a
+   batch_id-keyed state path (overwrite: foreachBatch is at-least-once, so
+   a replayed batch rewrites its own partition instead of double-counting),
+   and the winner set is re-derived from merged state at any point.
+   Because priorities are pure functions of (seed, window, conv), the
+   incremental winner set after N batches equals the batch pipeline's
+   winner set on the union of inputs — checkpoint/restart-safe by
+   construction (fixes §2.11.3 double-count).
+ - `run_incremental_routed`  : the full streaming fan-out — the analog of
+   the reference's hot path, rollover export (processor.go:317-347). Rows
+   buffer per window (spill, batch_id-keyed); when the event-time high
+   watermark passes a window's end, that window's rows are routed with the
+   merged state (winners/capacity/invalid via the SAME apply_routing as
+   the batch plan) and written with per-window dynamic partition overwrite
+   — idempotent under micro-batch replay. `flush_incremental` routes
+   whatever windows remain open at stream end. Union of all rollover
+   exports == the batch pipeline's routed output on the same input, with
+   per-epoch conservation bookkeeping.
 """
 
 from __future__ import annotations
@@ -132,6 +144,22 @@ def streaming_sessionize(
     )
 
 
+def _write_pre(batch_df: DataFrame, batch_id: int, cfg: PipelineConfig, state_dir: str) -> None:
+    """One micro-batch's unit partials, written idempotently: the path is
+    keyed by batch_id and overwritten, so an at-least-once foreachBatch
+    replay rewrites identical content instead of double-appending."""
+    from trace_aware_reservoir_otel_spark.operators.windows import with_tumbling_window
+    from trace_aware_reservoir_otel_spark.plans.pipeline import _unit_pre_aggregate
+
+    valid = batch_df.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    )
+    pre = _unit_pre_aggregate(
+        with_tumbling_window(valid, "ts", cfg.window_duration_s), cfg
+    )
+    pre.write.mode("overwrite").parquet(f"{state_dir}/pre/batch_id={batch_id}")
+
+
 def run_incremental(
     spark: SparkSession,
     input_dir: str,
@@ -142,34 +170,13 @@ def run_incremental(
 ) -> None:
     """Incremental reservoir state accumulation via foreachBatch.
 
-    Each micro-batch appends per-(window, conv) partial aggregates; the
-    merged state (see `merged_units`) reproduces the batch pipeline's
-    sampling population exactly, at any prefix of the stream."""
+    Each micro-batch overwrites its batch_id-keyed partial-aggregate
+    partition; the merged state (see `merged_units`) reproduces the batch
+    pipeline's sampling population exactly, at any prefix of the stream."""
     stream = stream_transcripts(spark, input_dir, max_files_per_trigger)
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from trace_aware_reservoir_otel_spark.operators.windows import (
-            with_tumbling_window,
-        )
-
-        valid = batch_df.filter(
-            F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
-        )
-        pre = (
-            with_tumbling_window(valid, "ts", cfg.window_duration_s)
-            .groupBy("window_start_s", "conv_id")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_all"),
-                F.min(F.unix_timestamp("ts")).alias("min_ts_s"),
-                F.max(F.unix_timestamp("ts")).alias("max_ts_s"),
-                F.min("turn_idx").alias("min_turn"),
-                F.min(
-                    F.struct(F.col("turn_idx"), F.unix_timestamp("ts").alias("_ts_s"))
-                )["_ts_s"].alias("ts_of_min_turn"),
-            )
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        )
-        pre.write.mode("append").parquet(f"{state_dir}/pre")
+        _write_pre(batch_df, batch_id, cfg, state_dir)
 
     q = (
         stream.writeStream.foreachBatch(per_batch)
@@ -182,25 +189,19 @@ def run_incremental(
 
 def merged_units(spark: SparkSession, state_dir: str, cfg: PipelineConfig) -> DataFrame:
     """Merge batch partials into the exact (window, conv) unit frame the
-    batch pipeline would compute (associative combiners)."""
-    from trace_aware_reservoir_otel_spark.functions.hashing import ares_key, pbig
+    batch pipeline would compute (associative combiners + the same
+    cfg-driven priorities as plans/pipeline)."""
+    from trace_aware_reservoir_otel_spark.plans.pipeline import (
+        _merge_pre,
+        _with_unit_priorities,
+    )
 
-    pre = spark.read.parquet(f"{state_dir}/pre")
-    merged = pre.groupBy("window_start_s", "conv_id").agg(
-        F.sum("n_all").cast("long").alias("n_turns"),
-        F.min("min_ts_s").alias("min_ts_s"),
-        F.max("max_ts_s").alias("max_ts_s"),
-        F.min("min_turn").alias("min_turn"),
-        F.min(F.struct(F.col("min_turn"), F.col("ts_of_min_turn").alias("_t")))[
-            "_t"
-        ].alias("ts_of_min_turn"),
-    )
-    prio_key = F.concat(
-        F.col("window_start_s").cast("string"), F.lit(":"), F.col("conv_id")
-    )
-    return merged.withColumn("ares_key", ares_key(prio_key, cfg.seed)).withColumn(
-        "prio_int", pbig(prio_key, cfg.seed)
-    )
+    pre = spark.read.parquet(f"{state_dir}/pre").drop("batch_id")
+    merged = _merge_pre(pre, cfg).withColumnRenamed("n_all", "n_turns")
+    weighted = cfg.weight_col is not None
+    keep = ["window_start_s", "conv_id", "n_turns", "min_ts_s", "max_ts_s",
+            "min_turn", "ts_of_min_turn"] + (["_w"] if weighted else [])
+    return _with_unit_priorities(merged.select(*keep), cfg, weighted)
 
 
 def incremental_winners(
@@ -213,3 +214,215 @@ def incremental_winners(
         units, cfg.size_k, "window_start_s", "conv_id",
         cfg.salt_buckets, cfg.method, cfg.priority,
     )
+
+
+# --- streaming routed fan-out (rollover export) ------------------------------
+
+
+def _exported_windows(state_dir: str) -> "set":
+    path = os.path.join(state_dir, "exported.jsonl")
+    out = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                import json
+
+                out.add(json.loads(line)["window"])
+    return out
+
+
+def _mark_exported(state_dir: str, windows: "list", batch_id: "int | None") -> None:
+    import json
+
+    with open(os.path.join(state_dir, "exported.jsonl"), "a") as f:
+        for w in windows:
+            f.write(json.dumps({"window": w, "batch_id": batch_id}) + "\n")
+
+
+def _prepared_batch(batch_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.functions.parse import with_parsed_fields
+    from trace_aware_reservoir_otel_spark.operators.enrich import enrich
+    from trace_aware_reservoir_otel_spark.operators.windows import with_tumbling_window
+
+    return with_tumbling_window(
+        enrich(with_parsed_fields(batch_df)), "ts", cfg.window_duration_s
+    )
+
+
+def _route_windows(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    state_dir: str,
+    out_dir: str,
+    windows: "list",
+    batch_id: "int | None",
+    late_source: "DataFrame | None" = None,
+) -> None:
+    """Route the spilled rows of the given (closed) windows using the
+    merged state and write them with per-window dynamic partition
+    overwrite — replay-idempotent. Shares apply_routing / winner
+    derivation with the batch plan, so the paths cannot drift."""
+    from trace_aware_reservoir_otel_spark.plans.pipeline import (
+        _units_from_pre,
+        apply_routing,
+        capacity_and_winners,
+    )
+    from trace_aware_reservoir_otel_spark.plans.pipeline import _merge_pre
+
+    if not windows:
+        return
+    non_null = [w for w in windows if w is not None]
+    has_null = any(w is None for w in windows)
+    spill = spark.read.parquet(f"{state_dir}/spill")
+    wcol = F.col("window_start_s")
+    sel = wcol.isin(non_null) if non_null else F.lit(False)
+    if has_null:
+        sel = sel | wcol.isNull()
+    rows = spill.filter(sel).drop("batch_id")
+
+    pre_all = spark.read.parquet(f"{state_dir}/pre").drop("batch_id")
+    merged = _merge_pre(pre_all, cfg)
+    invalid = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
+    if cfg.late_tolerance_s is not None:
+        # conv starts are global: classify over ALL windows' merged state,
+        # then restrict to the windows being exported
+        valid_rows = (late_source if late_source is not None else rows).filter(
+            ~invalid
+        )
+        units_all, late_units = _units_from_pre(merged, valid_rows, cfg)
+    else:
+        units_all, late_units = _units_from_pre(merged, rows, cfg)
+    units = units_all.filter(
+        F.col("window_start_s").isin(non_null) if non_null else F.lit(False)
+    )
+    if late_units is not None:
+        lsel = (
+            late_units["window_start_s"].isin(non_null) if non_null else F.lit(False)
+        )
+        late_units = late_units.filter(lsel)
+
+    kept_units, evicted_keys, winners = capacity_and_winners(units, cfg)
+    routed = rows.join(
+        F.broadcast(
+            winners.select("window_start_s", "conv_id").withColumn(
+                "_won", F.lit(True)
+            )
+        ),
+        on=["window_start_s", "conv_id"],
+        how="left",
+    )
+    routed = apply_routing(routed, invalid, late_units, evicted_keys)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        routed.withColumn(
+            "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
+        ).write.mode("overwrite").partitionBy("window_part").parquet(
+            f"{out_dir}/routed"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _mark_exported(state_dir, windows, batch_id)
+
+
+def _roll(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    state_dir: str,
+    out_dir: str,
+    batch_id: int,
+    watermark_s: float,
+) -> None:
+    pre = spark.read.parquet(f"{state_dir}/pre")
+    hwm_row = pre.agg(F.max("max_ts_s").alias("h")).first()
+    if hwm_row is None or hwm_row["h"] is None:
+        return
+    hwm = float(hwm_row["h"]) - watermark_s
+    w = float(cfg.window_duration_s)
+    done = _exported_windows(state_dir)
+    closed = [
+        r["window_start_s"]
+        for r in pre.select("window_start_s").distinct().collect()
+        if r["window_start_s"] is not None
+        and r["window_start_s"] + w <= hwm
+        and r["window_start_s"] not in done
+    ]
+    _route_windows(spark, cfg, state_dir, out_dir, sorted(closed), batch_id)
+
+
+def run_incremental_routed(
+    spark: SparkSession,
+    input_dir: str,
+    cfg: PipelineConfig,
+    state_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    watermark_s: float = 0.0,
+) -> None:
+    """Streaming fan-out with rollover export (processor.go:317-347).
+
+    Per micro-batch: unit partials + parsed/enriched/windowed rows spill to
+    batch_id-keyed paths (overwrite — replay-idempotent); windows whose end
+    passed the event-time high watermark (minus `watermark_s` tolerance)
+    are routed with the merged state and written per-window. When
+    cfg.late_tolerance_s is set, mid-stream rollover is skipped (lateness
+    needs global conversation starts) and `flush_incremental` routes
+    everything at stream end — same output, one pass later.
+
+    State volume: spill holds only OPEN windows' rows in a real continuous
+    run (exported windows' spill can be vacuumed); partials are
+    O(conv-windows)."""
+    stream = stream_transcripts(spark, input_dir, max_files_per_trigger)
+    rolling = cfg.late_tolerance_s is None
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _write_pre(batch_df, batch_id, cfg, state_dir)
+        prepared = _prepared_batch(batch_df, cfg)
+        prepared.write.mode("overwrite").parquet(
+            f"{state_dir}/spill/batch_id={batch_id}"
+        )
+        n = batch_df.count()
+        spark.createDataFrame(
+            [(int(n),)], "rows_in long"
+        ).write.mode("overwrite").parquet(f"{state_dir}/epoch/batch_id={batch_id}")
+        if rolling:
+            _roll(spark, cfg, state_dir, out_dir, batch_id, watermark_s)
+
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def flush_incremental(
+    spark: SparkSession, cfg: PipelineConfig, state_dir: str, out_dir: str
+) -> None:
+    """Route every window not yet exported (open windows at stream end,
+    plus the null-window rows of invalid-ts input)."""
+    spill = spark.read.parquet(f"{state_dir}/spill")
+    done = _exported_windows(state_dir)
+    remaining = [
+        r["window_start_s"]
+        for r in spill.select("window_start_s").distinct().collect()
+        if r["window_start_s"] not in done
+    ]
+    _route_windows(
+        spark, cfg, state_dir, out_dir, remaining, None,
+        late_source=spill.drop("batch_id"),
+    )
+
+
+def incremental_conservation(spark: SparkSession, state_dir: str, out_dir: str) -> "tuple[int, int]":
+    """(rows_in, rows_routed) — per-epoch input bookkeeping vs routed
+    output; equal iff every row was routed exactly once (the metrics gate,
+    metrics.go:47-142)."""
+    rows_in = int(
+        spark.read.parquet(f"{state_dir}/epoch").agg(F.sum("rows_in")).first()[0]
+    )
+    rows_out = spark.read.parquet(f"{out_dir}/routed").count()
+    return rows_in, rows_out
