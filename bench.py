@@ -12,7 +12,18 @@ parquet so generation cost is excluded), and prints:
 --scaling mode: runs the flagship pipeline in two fresh subprocesses at
 local[N] and local[4N] (default 8 and 32) on the SAME cached input and
 reports throughput at both plus scaling efficiency — the sandbox proxy for
-the north rule's two-cluster-size criterion (BASELINE.json).
+the north rule's two-cluster-size criterion (BASELINE.json). Also runs a
+TRIVIAL parquet-scan control (scan + xxhash64 + sum, zero shuffle) at both
+core counts and reports engine-relative efficiency = pipeline efficiency /
+control efficiency: the control measures what this noisy multi-tenant VM
+itself scales at, so engine-relative isolates the engine's own scaling
+from hypervisor steal / cache contention.
+
+--scaling-multiproc mode: weak-scaling across PROCESSES (the actual
+cluster shape — multiple JVMs, not one JVM with more threads): 1 process x
+local[C] on 1/P of the input vs P concurrent processes x local[C], each on
+its own 1/P shard. Efficiency = aggregate throughput / (P x single-process
+throughput).
 """
 
 from __future__ import annotations
@@ -76,7 +87,10 @@ def _flagship(spark, transcripts_path: str) -> "tuple[float, int]":
     from trace_aware_reservoir_otel_spark.config import PipelineConfig
     from trace_aware_reservoir_otel_spark.plans.pipeline import build_routed
 
-    tr = spark.read.parquet(transcripts_path)
+    paths = (
+        [transcripts_path] if isinstance(transcripts_path, str) else transcripts_path
+    )
+    tr = spark.read.parquet(*paths)
     cfg = PipelineConfig(size_k=64, window_duration_s=60, seed=42)
     t0 = time.time()
     routed, _ = build_routed(tr, cfg)
@@ -169,12 +183,16 @@ def _steal_pct(seconds: float = 3.0) -> float:
     return round(100.0 * d[7] / max(sum(d), 1), 1)
 
 
-def main_scaling_child(cores: int) -> None:
+def main_scaling_child(cores: int, files_list: "str | None" = None) -> None:
     spark = _spark(cores)
     # 4 waves of shuffle tasks: smaller per-task sort state (fewer spills
     # at high thread counts) without losing parallelism
     spark.conf.set("spark.sql.shuffle.partitions", str(max(32, 4 * cores)))
-    path = _ensure_bench_transcripts(spark)
+    if files_list:
+        with open(files_list) as f:
+            path = [l.strip() for l in f if l.strip()]
+    else:
+        path = _ensure_bench_transcripts(spark)
     if os.environ.get("TARO_SCALING_WARMUP", "1") != "0":
         _flagship(spark, path)  # warm-up (codegen, file listing)
     sec, n = _flagship(spark, path)
@@ -182,28 +200,65 @@ def main_scaling_child(cores: int) -> None:
     spark.stop()
 
 
+def main_control_child(cores: int) -> None:
+    """Trivial-scan control: parquet scan + xxhash64 + global sum. Zero
+    shuffle, whole-stage codegen end-to-end — the VM's own scaling ceiling."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(cores)
+    path = _ensure_bench_transcripts(spark)
+    df = spark.read.parquet(path)
+    # >>32 keeps the ANSI-mode sum within long range at any row count
+    h = F.shiftrightunsigned(F.xxhash64("conv_id", "text"), 32)
+    df.agg(F.sum(h)).collect()  # warm-up
+    t0 = time.time()
+    row = df.agg(F.sum(h).alias("h"), F.count(F.lit(1)).alias("n")).collect()[0]
+    sec = time.time() - t0
+    n = int(row["n"])
+    print(json.dumps({"cores": cores, "sec": sec, "turns": n, "tps": n / sec}))
+    spark.stop()
+
+
+def _run_child(args: "list[str]", env: "dict | None" = None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True,
+        text=True,
+        env=e,
+    )
+    lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        return None, f"[{' '.join(args)} rc={p.returncode}] {p.stderr[-2000:]}"
+    return json.loads(lines[-1]), None
+
+
 def main_scaling(n_small: int = 8, n_big: int = 32, reps: int = 3) -> None:
     """Interleaved min-of-N: the sandbox shows double-digit CPU steal that
     drifts over minutes, so small/big runs alternate and each config keeps
     its best observation."""
     best: dict = {}
+    ctrl: dict = {}
     turns = None
     errs: list = []
     for _ in range(reps):
         for cores in (n_small, n_big):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cores)],
-                capture_output=True,
-                text=True,
-            )
-            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
-            if not lines:
-                errs.append(f"[cores={cores} rc={p.returncode}] {p.stderr[-2000:]}")
+            r, err = _run_child(["--scaling-child", str(cores)])
+            if r is None:
+                errs.append(err)
                 continue
-            r = json.loads(lines[-1])
             turns = r["turns"]
             if cores not in best or r["sec"] < best[cores]["sec"]:
                 best[cores] = r
+        for cores in (n_small, n_big):
+            r, err = _run_child(["--control-child", str(cores)])
+            if r is None:
+                errs.append(err)
+                continue
+            if cores not in ctrl or r["sec"] < ctrl[cores]["sec"]:
+                ctrl[cores] = r
     for cores in (n_small, n_big):
         if cores not in best:
             sys.exit(
@@ -213,19 +268,96 @@ def main_scaling(n_small: int = 8, n_big: int = 32, reps: int = 3) -> None:
     tps_small = best[n_small]["tps"]
     tps_big = best[n_big]["tps"]
     eff = (tps_big / tps_small) / (n_big / n_small)
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "small": best[n_small],
+        "big": best[n_big],
+        "turns": turns,
+        "turns_per_sec_small": round(tps_small, 1),
+        "turns_per_sec_big": round(tps_big, 1),
+        "cpu_steal_pct_under_load": _steal_pct(),
+        "note": "multi-tenant sandbox; steal>0 caps achievable efficiency",
+    }
+    if n_small in ctrl and n_big in ctrl:
+        ctrl_eff = (ctrl[n_big]["tps"] / ctrl[n_small]["tps"]) / (n_big / n_small)
+        out["control_small"] = ctrl[n_small]
+        out["control_big"] = ctrl[n_big]
+        out["control_efficiency"] = round(ctrl_eff, 3)
+        # pipeline scaling normalized by what a shuffle-free codegen scan
+        # scales at ON THIS VM: the engine's own contribution to the gap
+        out["engine_relative_efficiency"] = round(eff / ctrl_eff, 3) if ctrl_eff else None
+    print(json.dumps(out))
+
+
+def main_multiproc(p: int = 4, cores: int = 8, reps: int = 3) -> None:
+    """Weak scaling across processes: P JVMs x local[cores], each on its
+    own 1/P shard of the cached input, vs one JVM on one shard. This is
+    the closer proxy for a real cluster (independent JVMs, no shared-heap
+    GC/lock contention)."""
+    import glob
+    import tempfile
+    import threading
+
+    spark = _spark(cores)
+    path = _ensure_bench_transcripts(spark)
+    spark.stop()
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    if len(files) < p:
+        sys.exit(f"multiproc: only {len(files)} part files for p={p}")
+    groups = [files[i::p] for i in range(p)]
+    tmp = tempfile.mkdtemp(prefix="taro_multiproc_")
+    group_paths = []
+    for i, g in enumerate(groups):
+        fp = os.path.join(tmp, f"group{i}.txt")
+        with open(fp, "w") as f:
+            f.write("\n".join(g))
+        group_paths.append(fp)
+
+    errs: list = []
+    best_single: "dict | None" = None
+    best_par: "dict | None" = None
+    for _ in range(reps):
+        # single process on shard 0
+        r, err = _run_child(["--scaling-child", str(cores), group_paths[0]])
+        if r is None:
+            errs.append(err)
+        elif best_single is None or r["sec"] < best_single["sec"]:
+            best_single = r
+        # P concurrent processes, one per shard
+        results: "list" = [None] * p
+        def run(i):
+            results[i], e = _run_child(
+                ["--scaling-child", str(cores), group_paths[i]]
+            )
+            if e:
+                errs.append(e)
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(p)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        if all(r is not None for r in results):
+            wall = max(r["sec"] for r in results)
+            turns = sum(r["turns"] for r in results)
+            cand = {"sec": wall, "turns": turns, "tps": turns / wall,
+                    "per_proc": results}
+            if best_par is None or cand["tps"] > best_par["tps"]:
+                best_par = cand
+    if best_single is None or best_par is None:
+        sys.exit("multiproc: all runs failed:\n" + "\n---\n".join(errs))
+    eff = best_par["tps"] / (p * best_single["tps"])
     print(
         json.dumps(
             {
-                "metric": "scaling_efficiency",
+                "metric": "multiproc_scaling_efficiency",
                 "value": round(eff, 3),
                 "unit": "ratio",
-                "small": best[n_small],
-                "big": best[n_big],
-                "turns": turns,
-                "turns_per_sec_small": round(tps_small, 1),
-                "turns_per_sec_big": round(tps_big, 1),
+                "processes": p,
+                "cores_per_process": cores,
+                "single": best_single,
+                "parallel": {k: v for k, v in best_par.items() if k != "per_proc"},
+                "parallel_per_proc": best_par["per_proc"],
                 "cpu_steal_pct_under_load": _steal_pct(),
-                "note": "multi-tenant sandbox; steal>0 caps achievable efficiency",
             }
         )
     )
@@ -235,6 +367,13 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         main_scaling()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
-        main_scaling_child(int(sys.argv[2]))
+        main_scaling_child(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else None)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--control-child":
+        main_control_child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-multiproc":
+        main_multiproc(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 8,
+        )
     else:
         main_bench()
