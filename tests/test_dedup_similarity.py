@@ -216,3 +216,30 @@ def test_ngram_jaccard_df_cap_kills_hot_shingle(spark):
     small = spark.createDataFrame(rows[:20], "doc_id long, text string")
     uncapped = ngram_jaccard_pairs(small, n=3, threshold=0.01, max_df=None)
     assert uncapped.count() == 19 * 20 // 2
+
+
+def test_ivf_assign_and_topk(emb):
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        ann_topk_ivf,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(emb, n_centroids=2, seed=42)
+    crows = cents.collect()
+    assert len(crows) == 2
+    assigned = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb, cents).collect()}
+    assert set(assigned) == {0, 1, 2, 3, 4}
+    # identical vectors land in the same cell; every centroid sits in a
+    # cell at sim 1.0 (itself, or an identical twin on a deterministic tie)
+    assert assigned[0] == assigned[4]
+    sims = {r["vec_id"]: r["sim"] for r in ivf_assign(emb, cents).collect()}
+    for r in crows:
+        assert sims[r["centroid_id"]] == 1.0
+    assert set(assigned.values()) <= {r["centroid_id"] for r in crows}
+    # probing all cells == brute force
+    got = [r["vec_id"] for r in ann_topk_ivf(
+        emb, [1.0, 0.0, 0.0, 0.0], k=3, n_centroids=2, nprobe=2, seed=42
+    ).collect()]
+    brute = [r["vec_id"] for r in cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    assert got == brute

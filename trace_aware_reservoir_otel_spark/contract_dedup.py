@@ -388,6 +388,187 @@ def oracle_embedding_near_pairs() -> str:
     )
 
 
+# --- simhash near pairs (pigeonhole LSH) --------------------------------------
+
+SIMHASH_MAX_HAMMING = 8
+SIMHASH_CHUNKS = 4
+SIMHASH_MAX_BUCKET = 1024
+
+
+def _aug_docs_with_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _aug_docs(spark, sf_dir)
+    exact = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 30)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    return aug.unionByName(exact).filter(F.length(F.trim("text")) > 0)
+
+
+_AUG_EXACT_SQL = (
+    "select doc_id, text from (\n"
+    "      " + AUG_DOCS_SQL + "\n"
+    "      union all\n"
+    "      select doc_id + 2000000 as doc_id, text\n"
+    "      from documents where doc_id < 30\n"
+    "    ) where length(trim(text)) > 0"
+)
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = _aug_docs_with_exact(spark, sf_dir)
+    sim = simhash(docs, bits=SIM_BITS, portable=True, seed=SEED)
+    return simhash_near_pairs(
+        sim,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        chunks=SIMHASH_CHUNKS,
+        max_bucket=SIMHASH_MAX_BUCKET,
+    )
+
+
+def oracle_simhash_near_pairs() -> str:
+    h = _duck_pbig(f"'{SEED}:simhash:' || tok")
+    sums = ",\n             ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) as s{b}"
+        for b in range(SIM_BITS)
+    )
+    terms = "\n           + ".join(
+        f"(case when s{b} > 0 then cast({1 << b} as bigint) else 0 end)"
+        for b in range(SIM_BITS)
+    )
+    per = SIM_BITS // SIMHASH_CHUNKS
+    mask = (1 << per) - 1
+    chunk_rows = "\n      union all\n      ".join(
+        f"select doc_id, simhash, {i} as ci, (simhash >> {i * per}) & {mask} as cv from sims"
+        for i in range(SIMHASH_CHUNKS)
+    )
+    return (
+        "with aug as (\n      " + _AUG_EXACT_SQL + "\n    ),\n"
+        "    toks as (\n"
+        "      select doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) as tok\n"
+        "      from aug\n"
+        "    ),\n"
+        "    hashed as (select doc_id, " + h + " as h from toks),\n"
+        "    agg as (\n"
+        "      select doc_id,\n             " + sums + "\n"
+        "      from hashed group by doc_id\n"
+        "    ),\n"
+        "    sims as (select doc_id,\n           " + terms + " as simhash from agg),\n"
+        "    chunk_all as (\n      " + chunk_rows + "\n    ),\n"
+        "    chunked as (\n"
+        "      select doc_id, simhash, ci, cv\n"
+        "      from (select *, row_number() over (\n"
+        "                   partition by ci, cv order by doc_id) as rn\n"
+        "            from chunk_all)\n"
+        f"      where rn <= {SIMHASH_MAX_BUCKET}\n"
+        "    )\n"
+        "    select doc_a, doc_b, hamming from (\n"
+        "      select distinct a.doc_id as doc_a, b.doc_id as doc_b,\n"
+        "             bit_count(xor(a.simhash, b.simhash)) as hamming\n"
+        "      from chunked a join chunked b on a.ci = b.ci and a.cv = b.cv\n"
+        "      where a.doc_id < b.doc_id\n"
+        f"    ) where hamming <= {SIMHASH_MAX_HAMMING}"
+    )
+
+
+# --- IVF ANN -------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, n_centroids=IVF_CENTROIDS, seed=SEED)
+    return ivf_assign(emb, cents)
+
+
+_DUCK_IVF_CENT = (
+    "cent as (\n"
+    "      select vec_id as centroid_id, v as cv\n"
+    "      from (select e.*, "
+    + _duck_pbig(f"'{SEED}:ivf:' || cast(vec_id as varchar)")
+    + " as pri from e)\n"
+    f"      order by pri, centroid_id limit {IVF_CENTROIDS}\n"
+    "    )"
+)
+
+_DUCK_E = (
+    "e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v\n"
+    "      from embeddings)"
+)
+
+_DUCK_ASSIGN = (
+    "scored as (\n"
+    "      select e.vec_id, c.centroid_id,\n"
+    "             round(list_dot_product(e.v, c.cv)\n"
+    "               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) as sim\n"
+    "      from e cross join cent c\n"
+    "    ),\n"
+    "    assign as (\n"
+    "      select vec_id, centroid_id, sim\n"
+    "      from (select *, row_number() over (\n"
+    "                   partition by vec_id order by sim desc, centroid_id asc) as rn\n"
+    "            from scored)\n"
+    "      where rn = 1\n"
+    "    )"
+)
+
+
+def oracle_ivf_assign() -> str:
+    return (
+        "with " + _DUCK_E + ",\n    " + _DUCK_IVF_CENT + ",\n    " + _DUCK_ASSIGN + "\n"
+        "    select vec_id, centroid_id, sim from assign"
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.operators.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_ivf(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=ANN_K,
+        n_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+        seed=SEED,
+    )
+
+
+def oracle_ann_ivf_topk() -> str:
+    return (
+        "with " + _DUCK_E + ",\n    " + _DUCK_IVF_CENT + ",\n    " + _DUCK_ASSIGN + ",\n"
+        "    q as (select v as qv from e where vec_id = 0),\n"
+        "    probe as (\n"
+        "      select centroid_id\n"
+        "      from (select c.centroid_id,\n"
+        "                   round(list_dot_product(c.cv, q.qv)\n"
+        "                     / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) as sim\n"
+        "            from cent c, q)\n"
+        f"      order by sim desc, centroid_id asc limit {IVF_NPROBE}\n"
+        "    ),\n"
+        "    cand as (\n"
+        "      select vec_id from assign\n"
+        "      where centroid_id in (select centroid_id from probe)\n"
+        "    ),\n"
+        "    ev as (select e.vec_id, e.v as ev from e join cand using (vec_id))\n"
+        "    select vec_id, " + _DUCK_COS + " as sim\n"
+        "    from ev, q\n"
+        f"    order by sim desc, vec_id asc limit {ANN_K}"
+    )
+
+
 DEDUP_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_lsh_pairs,
@@ -396,6 +577,9 @@ DEDUP_QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "embedding_near_pairs": q_embedding_near_pairs,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "ivf_assign": q_ivf_assign,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 
@@ -408,4 +592,7 @@ def dedup_oracles() -> "dict[str, str]":
         "ann_cosine_topk": oracle_ann_cosine_topk(),
         "ann_lsh_bucket": oracle_ann_lsh_bucket(),
         "embedding_near_pairs": oracle_embedding_near_pairs(),
+        "simhash_near_pairs": oracle_simhash_near_pairs(),
+        "ivf_assign": oracle_ivf_assign(),
+        "ann_ivf_topk": oracle_ann_ivf_topk(),
     }

@@ -276,13 +276,21 @@ def simhash(
 
 
 def simhash_near_pairs(
-    sim_df: DataFrame, max_hamming: int = 6, id_col: str = "doc_id", chunks: int = 4
+    sim_df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    chunks: int = 4,
+    max_bucket: "int | None" = 1024,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
     Pigeonhole LSH: split the 52 bits into `chunks` chunks; any pair
     within distance < chunks must share at least one exact chunk -> join
-    on (chunk_idx, chunk_value), then verify with bit_count."""
+    on (chunk_idx, chunk_value), then verify with bit_count. `max_bucket`
+    caps per-(chunk, value) membership — the same skew guard as
+    lsh_candidate_pairs: 13-bit chunks give 8192 buckets, so an uncapped
+    self-join goes quadratic once the corpus passes ~10^5 docs; at larger
+    scale raise `chunks`' width by hashing into more buckets or cap."""
     bits = 52
     per = bits // chunks
     chunk_cols = [
@@ -305,6 +313,13 @@ def simhash_near_pairs(
             )
         ).alias("ch"),
     ).select(id_col, "simhash", "ch.ci", "ch.cv")
+    if max_bucket is not None:
+        wb = W.partitionBy("ci", "cv").orderBy(id_col)
+        e = (
+            e.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     a = e.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "ci", "cv")
     b = e.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "ci", "cv")
     pairs = (

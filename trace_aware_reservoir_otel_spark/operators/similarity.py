@@ -288,3 +288,105 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     if row is None:
         return 0
     return int(row["d"])
+
+
+# --- IVF (inverted-file) ANN --------------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic centroid selection: the `n_centroids` vectors with the
+    smallest portable priority pbig(seed, 'ivf:'||id) — i.e. a seeded
+    uniform sample of the corpus as centroid seeds (the standard k-means++
+    -free IVF bootstrap; one Lloyd iteration away from k-means, and fully
+    oracle-portable because no float iteration is involved)."""
+    from trace_aware_reservoir_otel_spark.functions.hashing import pbig
+
+    pri = pbig(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")), seed)
+    return (
+        df.select(
+            F.col(id_col).alias("centroid_id"),
+            _to_double(F.col(vec_col)).alias("centroid_vec"),
+            pri.alias("_pri"),
+        )
+        .orderBy("_pri", "centroid_id")
+        .limit(n_centroids)
+        .drop("_pri")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, centroid_id, sim): each vector's nearest centroid by cosine
+    (rounded, ties to the smaller centroid id — deterministic and
+    engine-portable).
+
+    Plan shape: one pass — broadcast the tiny centroid table against the
+    corpus scan, then a map-side-combinable groupBy(id) argmax. The corpus
+    never shuffles pairwise; cost is O(rows * n_centroids) fused multiply-
+    adds inside codegen."""
+    cent = F.broadcast(centroids)
+    joined = df.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    ).crossJoin(cent)
+    sim = F.round(cosine(F.col("_v"), F.col("centroid_vec")), round_digits)
+    scored = joined.select(
+        F.col(id_col), F.col("centroid_id"), sim.alias("sim")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("sim")).alias("ns"), F.col("centroid_id")))[
+            "centroid_id"
+        ].alias("centroid_id"),
+        F.max("sim").alias("sim"),
+    )
+    return best
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query_vec: "list[float]",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: "int | None" = 6,
+) -> DataFrame:
+    """IVF approximate top-k: probe the query's `nprobe` nearest centroid
+    cells, exact-rank only their members — the classic inverted-file scale
+    path (candidates ~ nprobe/n_centroids of the corpus). Raise
+    `n_centroids` with corpus size so cells stay O(corpus/n_centroids);
+    `nprobe` is the recall knob."""
+    import math
+
+    cents = ivf_centroids(df, n_centroids, seed, vec_col, id_col).collect()
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+
+    def cos_to_query(vec):
+        d = sum(float(a) * float(b) for a, b in zip(vec, query_vec))
+        n = math.sqrt(sum(float(a) * float(a) for a in vec))
+        return round(d / (n * qn), round_digits or 6)
+
+    probed = sorted(
+        ((-cos_to_query(r["centroid_vec"]), r["centroid_id"]) for r in cents)
+    )[:nprobe]
+    probe_ids = [cid for _, cid in probed]
+    cent_df = df.sparkSession.createDataFrame(
+        [(r["centroid_id"], r["centroid_vec"]) for r in cents],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    assigned = ivf_assign(df, cent_df, vec_col, id_col, round_digits or 6)
+    cand_ids = assigned.filter(F.col("centroid_id").isin(probe_ids)).select(id_col)
+    cand = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+    return cosine_topk(cand, query_vec, k, vec_col, id_col, round_digits)
