@@ -1,0 +1,64 @@
+"""Physical-plan regression guards: the properties that make the engine
+scale are plan shapes, not outputs — assert them so a refactor that
+silently reintroduces a fact-side shuffle or a cartesian product fails CI,
+not a 100-TB run."""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from trace_aware_reservoir_otel_spark.config import PipelineConfig
+from trace_aware_reservoir_otel_spark.plans.pipeline import build_routed
+from trace_aware_reservoir_otel_spark.synth import generate_transcripts
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def flagship_plan(spark):
+    tr = generate_transcripts(spark, n_convs=500, seed=42)
+    cfg = PipelineConfig(
+        size_k=16, window_duration_s=60, seed=42, buffer_max_convs=50
+    )
+    routed, _ = build_routed(tr, cfg)
+    return _plan_of(routed)
+
+
+def test_no_sort_merge_join_or_cartesian(flagship_plan):
+    # every join in the routed plan must be a broadcast of a conv-level set
+    assert "SortMergeJoin" not in flagship_plan
+    assert "Cartesian" not in flagship_plan
+    assert "BroadcastHashJoin" in flagship_plan
+
+
+def test_no_fact_side_hash_exchange(flagship_plan):
+    # shuffle exchanges are allowed only above the (window, conv) unit
+    # aggregation — i.e. every hashpartitioning key set must include
+    # conv-level grouping keys, never raw per-turn columns like turn_idx
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", flagship_plan):
+        keys = m.group(1)
+        assert "turn_idx" not in keys, f"fact-side shuffle: {keys}"
+
+
+def test_similarity_near_pairs_plan_is_bucketed(spark):
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    plan = _plan_of(embedding_near_pairs(emb, threshold=0.9))
+    assert "Cartesian" not in plan  # bucket equi-join, never all-pairs
