@@ -164,3 +164,27 @@ def test_metrics_match_recomputation(data):
     )
     for r in recomputed:
         assert m[(r["window_start_s"], "sampled_traces")] == (r["rows"], r["convs"])
+
+
+def test_late_shuffle_strategy_equals_broadcast(spark):
+    """cfg.extra['late_strategy']='shuffle' (for pathological late
+    fractions whose late-unit set exceeds broadcast limits) must produce
+    identical routing to the default broadcast path."""
+    from trace_aware_reservoir_otel_spark.config import PipelineConfig
+    from trace_aware_reservoir_otel_spark.plans.pipeline import run_pipeline
+    from trace_aware_reservoir_otel_spark.synth import generate_transcripts
+
+    df = generate_transcripts(spark, n_convs=150, seed=11).cache()
+    base = PipelineConfig(size_k=5, window_duration_s=60, seed=42)
+    shuf = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42,
+        extra={"late_strategy": "shuffle"},
+    )
+    def hist(cfg):
+        routed = run_pipeline(df, cfg).routed
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["sink"], r["reason"])
+            for r in routed.select("conv_id", "turn_idx", "sink", "reason").collect()
+            if r["conv_id"] is not None
+        )
+    assert hist(base) == hist(shuf)

@@ -347,7 +347,13 @@ def build_routed(
             F.lit(1).cast("long").alias("n_turns"),
         )
 
-    routed = apply_routing(routed, invalid, late_units, evicted_keys)
+    routed = apply_routing(
+        routed,
+        invalid,
+        late_units,
+        evicted_keys,
+        broadcast_late=cfg.extra.get("late_strategy") != "shuffle",
+    )
     return routed, winners
 
 
@@ -357,6 +363,7 @@ def apply_routing(
     late_units: "DataFrame | None" = None,
     evicted_keys: "DataFrame | None" = None,
     expired=None,
+    broadcast_late: bool = True,
 ) -> DataFrame:
     """Shared routing tail: turn a fact frame carrying a `_won` flag into
     the single sink/reason-labelled frame. Used by the batch plan, the
@@ -370,12 +377,17 @@ def apply_routing(
     stale-state discard, without its restore double-count (§2.11.3).
 
     All decision inputs are conv-level broadcast sets or pure column
-    predicates — the fact is never shuffled here."""
+    predicates — the fact is never shuffled here. `broadcast_late=False`
+    (cfg.extra["late_strategy"]="shuffle") switches the late-unit join to a
+    shuffle join for workloads with pathological late fractions whose late
+    set exceeds broadcast limits; AQE's skew-join handles hot conversations
+    there."""
     if late_units is not None:
+        late_frame = late_units.withColumnRenamed("status", "_late_status")
+        if broadcast_late:
+            late_frame = F.broadcast(late_frame)
         routed = routed.join(
-            F.broadcast(
-                late_units.withColumnRenamed("status", "_late_status")
-            ),
+            late_frame,
             on=["window_start_s", "conv_id"],
             how="left",
         )
