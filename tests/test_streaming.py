@@ -251,3 +251,45 @@ def test_batch_replay_is_idempotent(spark, tmp_path_factory):
         for r in incremental_winners(spark, state, CFG).collect()
     }
     assert after == before
+
+
+def test_straggler_rows_route_to_late_arrival_dlq(spark, tmp_path_factory):
+    """A row arriving AFTER its window was exported (watermark violation)
+    must not vanish: it routes to dlq(late_arrival) and conservation holds."""
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None
+    )
+    base = str(tmp_path_factory.mktemp("stream_straggler"))
+    df, in_dir = _write_time_ordered_batches(spark, base, cfg, n_convs=80)
+    # file 002: one row whose ts lies back in file 000's first window
+    first = df.orderBy("ts", "turn_idx").limit(1).collect()[0]
+    straggler = spark.createDataFrame(
+        [(
+            "conv-straggler", 0, "user", "late straggler row", None, first["ts"],
+        )],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).select(*df.columns)
+    _write_stream_file(straggler, in_dir, "002")
+
+    state = os.path.join(base, "state")
+    out = os.path.join(base, "out")
+    run_incremental_routed(
+        spark, in_dir, cfg, state, os.path.join(base, "ck"), out
+    )
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import (
+        _exported_windows,
+        flush_incremental,
+        incremental_conservation,
+    )
+
+    first_w = (
+        int(first["ts"].timestamp()) // 60
+    ) * 60
+    assert _exported_windows(state).get(first_w) is not None  # window rolled
+    flush_incremental(spark, cfg, state, out)
+    strag = spark.read.parquet(f"{out}/routed_stragglers").collect()
+    assert len(strag) == 1
+    assert strag[0]["conv_id"] == "conv-straggler"
+    assert strag[0]["reason"] == "late_arrival"
+    rows_in, rows_out = incremental_conservation(spark, state, out)
+    assert rows_in == rows_out == df.count() + 1

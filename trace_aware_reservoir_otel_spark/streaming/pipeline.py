@@ -219,15 +219,18 @@ def incremental_winners(
 # --- streaming routed fan-out (rollover export) ------------------------------
 
 
-def _exported_windows(state_dir: str) -> "set":
+def _exported_windows(state_dir: str) -> "dict":
+    """window -> batch_id at whose roll it was exported (None = flush)."""
     path = os.path.join(state_dir, "exported.jsonl")
-    out = set()
+    out: "dict" = {}
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
                 import json
 
-                out.add(json.loads(line)["window"])
+                rec = json.loads(line)
+                if rec["window"] not in out:
+                    out[rec["window"]] = rec.get("batch_id")
     return out
 
 
@@ -403,7 +406,16 @@ def flush_incremental(
     spark: SparkSession, cfg: PipelineConfig, state_dir: str, out_dir: str
 ) -> None:
     """Route every window not yet exported (open windows at stream end,
-    plus the null-window rows of invalid-ts input)."""
+    plus the null-window rows of invalid-ts input).
+
+    Stragglers — rows that arrived AFTER their window was already exported
+    (watermark-contract violators) — cannot be merged into the closed
+    window's output without re-exporting it (the reference silently rolls
+    them into the next window, window.go:75-105 — its documented quirk).
+    They route explicitly to dlq(reason='late_arrival') under
+    `routed_stragglers` (overwritten wholesale at flush, so a repeated
+    flush stays idempotent), and they count in
+    `incremental_conservation`."""
     spill = spark.read.parquet(f"{state_dir}/spill")
     done = _exported_windows(state_dir)
     remaining = [
@@ -415,6 +427,29 @@ def flush_incremental(
         spark, cfg, state_dir, out_dir, remaining, None,
         late_source=spill.drop("batch_id"),
     )
+    exported_rows = [
+        (w, b) for w, b in done.items() if w is not None and b is not None
+    ]
+    if not exported_rows:
+        return
+    exp_df = spark.createDataFrame(
+        exported_rows, "window_start_s long, _exported_at long"
+    )
+    stragglers = (
+        spill.join(F.broadcast(exp_df), on="window_start_s", how="inner")
+        .filter(F.col("batch_id") > F.col("_exported_at"))
+        .drop("_exported_at")
+    )
+    (
+        stragglers.withColumn("sink", F.lit("dlq"))
+        .withColumn("reason", F.lit("late_arrival"))
+        .withColumn(
+            "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
+        )
+        .drop("batch_id")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/routed_stragglers")
+    )
 
 
 def incremental_conservation(spark: SparkSession, state_dir: str, out_dir: str) -> "tuple[int, int]":
@@ -425,4 +460,7 @@ def incremental_conservation(spark: SparkSession, state_dir: str, out_dir: str) 
         spark.read.parquet(f"{state_dir}/epoch").agg(F.sum("rows_in")).first()[0]
     )
     rows_out = spark.read.parquet(f"{out_dir}/routed").count()
+    strag_dir = f"{out_dir}/routed_stragglers"
+    if os.path.exists(strag_dir):
+        rows_out += spark.read.parquet(strag_dir).count()
     return rows_in, rows_out
