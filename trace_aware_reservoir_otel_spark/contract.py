@@ -791,6 +791,65 @@ def _oracle_parse_pandas() -> str:
     """
 
 
+def _q_lib_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 via Spark's BUILT-IN session_window (the merging event-time
+    session operator Catalyst plans natively — the batch analog of the
+    trace buffer's inactivity gap, trace_buffer.go:144-185).
+
+    Sessionized on second-truncated timestamps on BOTH sides: the driver
+    events carry sub-second ts, and a gap straddling the 3600.0s boundary
+    would otherwise split differently under the oracle's integer-second
+    lag arithmetic."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_sec", F.timestamp_seconds(F.unix_timestamp("ts"))
+    )
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts_sec", f"{SESSION_GAP_S} seconds").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("sw.start").alias("session_start_s"),
+            F.unix_timestamp("sw.end").alias("session_end_s"),
+            "n_events",
+        )
+    )
+
+
+def _oracle_lib_session_window() -> str:
+    # session_window semantics: an event at exactly prev + gap starts a NEW
+    # session (the window [t, t+gap) is half-open), hence `>= gap`
+    return f"""
+    with ordered as (
+      select user_id, cast(floor(epoch(ts)) as bigint) as ts_s, ts, event_id,
+             lag(cast(floor(epoch(ts)) as bigint)) over (
+               partition by user_id order by ts, event_id) as prev_s
+      from events
+    ), marked as (
+      select user_id, ts_s, ts, event_id,
+             case when prev_s is null or ts_s - prev_s >= {SESSION_GAP_S}
+                  then 1 else 0 end as new_sess
+      from ordered
+    ), sess as (
+      select user_id, ts_s,
+             sum(new_sess) over (
+               partition by user_id order by ts, event_id
+               rows between unbounded preceding and current row) as sess_id
+      from marked
+    )
+    select user_id,
+           cast(min(ts_s) as bigint) as session_start_s,
+           cast(max(ts_s) + {SESSION_GAP_S} as bigint) as session_end_s,
+           cast(count(*) as bigint) as n_events
+    from sess
+    group by user_id, sess_id
+    """
+
+
 def _q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas binary plumbing (decode stubbed — see multimodal.py).
 
@@ -851,6 +910,7 @@ def _library_queries():
         "flagship_pipeline": _q_flagship,
         "parse_tool_calls_pandas_udf": _q_parse_pandas,
         "multimodal_media_stats": _q_multimodal_stats,
+        "lib_session_window": _q_lib_session_window,
     }
 
 
@@ -861,4 +921,5 @@ def _library_oracles():
         "flagship_pipeline": _oracle_flagship(),
         "parse_tool_calls_pandas_udf": _oracle_parse_pandas(),
         "multimodal_media_stats": _oracle_multimodal_stats(),
+        "lib_session_window": _oracle_lib_session_window(),
     }
