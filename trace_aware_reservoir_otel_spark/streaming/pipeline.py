@@ -266,11 +266,11 @@ def _route_windows(
     overwrite — replay-idempotent. Shares apply_routing / winner
     derivation with the batch plan, so the paths cannot drift."""
     from trace_aware_reservoir_otel_spark.plans.pipeline import (
+        _merge_pre,
         _units_from_pre,
         apply_routing,
         capacity_and_winners,
     )
-    from trace_aware_reservoir_otel_spark.plans.pipeline import _merge_pre
 
     if not windows:
         return
