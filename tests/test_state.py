@@ -172,3 +172,36 @@ def test_state_metrics_gauges(spark, data, tmp_path_factory):
     assert gauges["state_bytes"] > 0
     assert gauges["state_files"] >= 3
     assert 0 <= gauges["state_manifest_age_s"] < 3600
+
+
+def test_weighted_checkpoint_matches_direct(spark, data, tmp_path_factory):
+    """Weighted A-Res through the checkpoint path: per-slice partials carry
+    the weight aggregate, so resume == direct for weighted sampling too."""
+    weighted = data.withColumn(
+        "w", (F.pmod(F.xxhash64("conv_id"), F.lit(9)) + 1).cast("double")
+    ).cache()
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42, run_id="state-w",
+        weight_col="w", priority="ares",
+    )
+    base = tmp_path_factory.mktemp("state_weighted")
+    out = str(base / "out")
+    run_with_checkpoint(spark, weighted, cfg, str(base / "st"), out, n_units=3)
+    direct = {
+        (r["conv_id"], r["turn_idx"])
+        for r in run_pipeline(weighted, cfg)
+        .sampled_traces.select("conv_id", "turn_idx")
+        .collect()
+    }
+    assert direct == {(c, t) for c, t, _ in _sampled_set(spark, out)}
+
+
+def test_more_units_than_windows(spark, data, tmp_path_factory):
+    """n_units far above the window count: surplus slices are empty; the
+    result is identical and the manifest still resumes correctly."""
+    base = tmp_path_factory.mktemp("state_many_units")
+    o1, o2 = str(base / "o1"), str(base / "o2")
+    c1 = run_with_checkpoint(spark, data, CFG, str(base / "s1"), o1, n_units=64)
+    c2 = run_with_checkpoint(spark, data, CFG, str(base / "s2"), o2, n_units=2)
+    assert c1 == c2
+    assert _sampled_set(spark, o1) == _sampled_set(spark, o2)
