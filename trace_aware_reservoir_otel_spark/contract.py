@@ -448,6 +448,39 @@ def q_top_order_per_customer(d: Dialect) -> str:
     """
 
 
+def q_small_quantity_revenue(d: Dialect) -> str:
+    # TPC-H Q17 shape: correlated scalar subquery (per-part average) —
+    # Catalyst rewrites it to an aggregate + join; exercises the
+    # scalar-subquery surface the other relational queries don't
+    return f"""
+    select cast(count(*) as bigint) as n_rows,
+           cast(sum({d.cents('l.l_extendedprice')}) as bigint) as revenue_c
+    from lineitem l
+    where l.l_quantity < (
+      select 0.5 * avg(l2.l_quantity)
+      from lineitem l2
+      where l2.l_partkey = l.l_partkey
+    )
+    """
+
+
+def q_customers_without_orders(d: Dialect) -> str:
+    # TPC-H Q22 flavor: NOT EXISTS anti-join (left-anti in the plan) —
+    # customers who never placed a large order (threshold keeps the anti
+    # side non-trivial at every test scale)
+    return """
+    select c.c_mktsegment,
+           cast(count(*) as bigint) as n_customers
+    from customer c
+    where not exists (
+      select 1 from orders o
+      where o.o_custkey = c.c_custkey
+        and o.o_totalprice > 350000
+    )
+    group by c.c_mktsegment
+    """
+
+
 def q_part_type_stats(d: Dialect) -> str:
     return f"""
     select p_type,
@@ -543,6 +576,8 @@ QUERY_BUILDERS: "dict[str, Callable[[Dialect], str]]" = {
     "top_revenue_orders": q_top_revenue_orders,
     "nation_revenue": q_nation_revenue,
     "top_order_per_customer": q_top_order_per_customer,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "customers_without_orders": q_customers_without_orders,
     "part_type_stats": q_part_type_stats,
     "token_count": q_token_count,
     "lang_stopword": q_lang_stopword,
