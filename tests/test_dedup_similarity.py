@@ -243,3 +243,30 @@ def test_ivf_assign_and_topk(emb):
     ).collect()]
     brute = [r["vec_id"] for r in cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
     assert got == brute
+
+
+def test_real_media_decode(spark):
+    """WAV/BMP/PPM decode is REAL (pure byte-layout parsing): dimensions,
+    duration, and content stats come from the actual payload."""
+    from trace_aware_reservoir_otel_spark.operators.multimodal import (
+        decode_media_metadata,
+        make_bmp,
+        make_wav,
+    )
+
+    wav = make_wav(n_frames=800, rate=8000, amplitude=8192)
+    bmp = make_bmp(width=4, height=3, rgb=(10, 20, 30))
+    ppm = b"P6\n# comment\n5 7\n255\n" + bytes(5 * 7 * 3)
+    rows = [(0, wav), (1, bmp), (2, ppm), (3, b"\xff\xd8\xff not-a-codec-here")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in decode_media_metadata(df).collect()}
+    assert got[0]["format"] == "wav"
+    assert got[0]["sample_rate"] == 8000
+    assert got[0]["duration_ms"] == 100  # 800 frames @ 8kHz
+    assert got[0]["rms_x1000"] == int(8192 * 1000 / 32768)  # square wave RMS == amplitude
+    assert got[1]["format"] == "bmp"
+    assert (got[1]["width"], got[1]["height"]) == (4, 3)
+    assert got[1]["mean_r"] == 10
+    assert got[2]["format"] == "ppm"
+    assert (got[2]["width"], got[2]["height"]) == (5, 7)
+    assert got[3]["format"] == "unknown" and got[3]["width"] is None
