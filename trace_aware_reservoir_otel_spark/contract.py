@@ -318,6 +318,33 @@ def q_session_window(d: Dialect) -> str:
     """
 
 
+def q_value_percentiles(d: Dialect) -> str:
+    # observability staple (per-window latency percentiles; the OTel
+    # processor's span-duration histogram analog): EXACT rank-based
+    # percentiles over integer cents — k-th smallest, never float
+    # interpolation, so the oracle matches bit-for-bit
+    return f"""
+    with v as (
+      select {d.bucket('ts', DAY)} as window_start_s,
+             {d.cents('value')} as v
+      from events
+    ), ranked as (
+      select window_start_s, v,
+             row_number() over (partition by window_start_s order by v) as rn,
+             count(*) over (partition by window_start_s) as n
+      from v
+    )
+    select window_start_s,
+           cast(count(*) as bigint) as n_rows,
+           max(case when rn <= cast(ceil(0.50 * n) as bigint) then v end) as p50_c,
+           max(case when rn <= cast(ceil(0.95 * n) as bigint) then v end) as p95_c,
+           max(case when rn <= cast(ceil(0.99 * n) as bigint) then v end) as p99_c,
+           max(v) as max_c
+    from ranked
+    group by window_start_s
+    """
+
+
 def q_dedup_upsert(d: Dialect) -> str:
     # A7 (reservoir.go:137): distinct-by-key, latest wins
     return """
@@ -567,6 +594,7 @@ QUERY_BUILDERS: "dict[str, Callable[[Dialect], str]]" = {
     "capacity_overflow": q_capacity_overflow,
     "routing_counts": q_routing_counts,
     "session_window": q_session_window,
+    "value_percentiles": q_value_percentiles,
     "dedup_upsert": q_dedup_upsert,
     "root_turn": q_root_turn,
     "union_completed": q_union_completed,
