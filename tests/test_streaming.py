@@ -293,3 +293,49 @@ def test_straggler_rows_route_to_late_arrival_dlq(spark, tmp_path_factory):
     assert strag[0]["reason"] == "late_arrival"
     rows_in, rows_out = incremental_conservation(spark, state, out)
     assert rows_in == rows_out == df.count() + 1
+
+
+def test_streaming_restart_with_new_data_equals_batch(spark, tmp_path_factory):
+    """Continuous-deployment story: process two files, stop, new data
+    arrives, restart on the SAME checkpoint — only the new file is
+    processed, already-exported windows are not re-exported, and the final
+    union still equals the batch pipeline over all data."""
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42,
+        late_tolerance_s=None, buffer_max_convs=8,
+    )
+    base = str(tmp_path_factory.mktemp("stream_restart"))
+    df = generate_transcripts(spark, n_convs=120, seed=9)
+    w = int(cfg.window_duration_s)
+    lo, hi = df.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    cut1 = (int(lo + (hi - lo) / 3) // w) * w
+    cut2 = (int(lo + 2 * (hi - lo) / 3) // w) * w
+    sec = F.unix_timestamp("ts")
+    in_dir = os.path.join(base, "in")
+    _write_stream_file(df.filter(sec < cut1), in_dir, "000")
+    _write_stream_file(df.filter((sec >= cut1) & (sec < cut2)), in_dir, "001")
+
+    state = os.path.join(base, "state")
+    ck = os.path.join(base, "ck")
+    out = os.path.join(base, "out")
+    run_incremental_routed(spark, in_dir, cfg, state, ck, out)
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import _exported_windows
+
+    exported_before = dict(_exported_windows(state))
+    assert exported_before  # something rolled in phase 1
+
+    # new data lands; restart on the same checkpoint
+    _write_stream_file(df.filter(sec >= cut2), in_dir, "002")
+    run_incremental_routed(spark, in_dir, cfg, state, ck, out)
+    exported_after = _exported_windows(state)
+    for wdw, bid in exported_before.items():
+        assert exported_after[wdw] == bid  # phase-1 exports untouched
+    flush_incremental(spark, cfg, state, out)
+
+    got = _routed_histogram(spark.read.parquet(f"{out}/routed"))
+    exp = _routed_histogram(run_pipeline(df, cfg).routed)
+    assert got == exp
+    rows_in, rows_out = incremental_conservation(spark, state, out)
+    assert rows_in == rows_out == df.count()
