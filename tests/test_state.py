@@ -205,3 +205,13 @@ def test_more_units_than_windows(spark, data, tmp_path_factory):
     c2 = run_with_checkpoint(spark, data, CFG, str(base / "s2"), o2, n_units=2)
     assert c1 == c2
     assert _sampled_set(spark, o1) == _sampled_set(spark, o2)
+
+
+def test_resume_rejects_changed_n_units(spark, data, tmp_path_factory):
+    base = tmp_path_factory.mktemp("state_nunits_guard")
+    s = str(base / "st")
+    run_with_checkpoint(
+        spark, data, CFG, s, str(base / "o"), n_units=4, fail_after_unit=0
+    )
+    with pytest.raises(ValueError, match="n_units"):
+        run_with_checkpoint(spark, data, CFG, s, str(base / "o"), n_units=8)

@@ -269,7 +269,15 @@ def run_with_checkpoint(
     finalize. `fail_after_unit` simulates a mid-run crash for tests."""
     os.makedirs(state_dir, exist_ok=True)
     saved = read_bounds(state_dir)
-    if saved is not None and saved["n_units"] == n_units:
+    if saved is not None and saved["n_units"] != n_units:
+        # done-unit ids only mean anything under the slicing that produced
+        # them; silently re-slicing would double-count or skip rows
+        raise ValueError(
+            f"state at {state_dir} was sliced with n_units="
+            f"{saved['n_units']}; resume with that value (got {n_units}) "
+            "or use a fresh state_dir"
+        )
+    if saved is not None:
         bounds = [tuple(b) for b in saved["bounds"]]
     else:
         bounds = unit_bounds(transcripts, cfg, n_units)
