@@ -270,3 +270,22 @@ def test_real_media_decode(spark):
     assert got[2]["format"] == "ppm"
     assert (got[2]["width"], got[2]["height"]) == (5, 7)
     assert got[3]["format"] == "unknown" and got[3]["width"] is None
+
+
+def test_corrupt_media_never_fails_the_job(spark):
+    from trace_aware_reservoir_otel_spark.operators.multimodal import (
+        decode_media_metadata,
+        make_bmp,
+        make_wav,
+    )
+
+    truncated_bmp = make_bmp(width=8, height=8)[:40]  # header ok, pixels gone
+    truncated_wav = make_wav()[:30]
+    df = spark.createDataFrame(
+        [(0, truncated_bmp), (1, truncated_wav), (2, make_bmp())],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in decode_media_metadata(df).collect()}
+    assert got[0]["format"] == "corrupt_bmp" and got[0]["mean_r"] is None
+    assert got[1]["format"] in ("corrupt_wav", "wav")  # fmt chunk may survive
+    assert got[2]["format"] == "bmp"  # healthy blob unaffected

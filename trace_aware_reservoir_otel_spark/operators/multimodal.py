@@ -259,6 +259,8 @@ def decode_media_metadata(df: DataFrame, payload_col: str = "payload", id_col: s
     Arrow-batched mapInPandas — partition-local, payloads never shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from struct import error as struct_error
+
         cols = [f.name for f in MEDIA_META_SCHEMA.fields]
         for pdf in batches:
             rows = []
@@ -268,21 +270,26 @@ def decode_media_metadata(df: DataFrame, payload_col: str = "payload", id_col: s
                 rec = {c: None for c in cols}
                 rec["media_id"] = int(mid)
                 rec["format"] = kind
-                if kind == "wav":
-                    d = decode_wav(payload) or {}
-                    rec.update(
-                        duration_ms=d.get("duration_ms"),
-                        sample_rate=d.get("sample_rate"),
-                        rms_x1000=d.get("rms_x1000"),
-                    )
-                elif kind == "bmp":
-                    d = decode_bmp(payload) or {}
-                    rec.update(width=d.get("width"), height=d.get("height"))
-                    if d.get("mean_rgb"):
-                        rec["mean_r"] = d["mean_rgb"][0]
-                elif kind == "ppm":
-                    d = decode_ppm(payload) or {}
-                    rec.update(width=d.get("width"), height=d.get("height"))
+                try:
+                    if kind == "wav":
+                        d = decode_wav(payload) or {}
+                        rec.update(
+                            duration_ms=d.get("duration_ms"),
+                            sample_rate=d.get("sample_rate"),
+                            rms_x1000=d.get("rms_x1000"),
+                        )
+                    elif kind == "bmp":
+                        d = decode_bmp(payload) or {}
+                        rec.update(width=d.get("width"), height=d.get("height"))
+                        if d.get("mean_rgb"):
+                            rec["mean_r"] = d["mean_rgb"][0]
+                    elif kind == "ppm":
+                        d = decode_ppm(payload) or {}
+                        rec.update(width=d.get("width"), height=d.get("height"))
+                except (ValueError, IndexError, struct_error):
+                    # truncated/corrupt payload: keep the sniffed format,
+                    # NULL metadata — never fail the job on one bad blob
+                    rec["format"] = f"corrupt_{kind}"
                 rows.append(rec)
             yield pd.DataFrame(rows, columns=cols)
 
