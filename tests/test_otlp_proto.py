@@ -80,3 +80,34 @@ def test_decode_skips_null_payloads(spark):
         [(0, None), (1, good)], "req_id long, payload binary"
     )
     assert decode_otlp_traces(df).count() == 2
+
+
+def test_otlp_payloads_through_flagship_pipeline(spark):
+    """End-to-end: protobuf wire payloads -> decode -> transcripts adapter
+    -> the flagship routed pipeline, with conservation and trace-atomic
+    sampling intact."""
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.config import PipelineConfig
+    from trace_aware_reservoir_otel_spark.plans.pipeline import run_pipeline
+    from trace_aware_reservoir_otel_spark.sources.otlp_proto import (
+        transcripts_from_spans,
+    )
+
+    payloads = [
+        (i, encode_export_request(_mk_spans(4, trace=f"{i:032x}"), service_name=f"svc-{i % 3}"))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(payloads, "req_id long, payload binary")
+    tr = transcripts_from_spans(decode_otlp_traces(df))
+    assert tr.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    res = run_pipeline(
+        tr, PipelineConfig(size_k=5, window_duration_s=60, seed=42)
+    )
+    sinks = {r["sink"]: r["count"] for r in res.routed.groupBy("sink").count().collect()}
+    assert sum(sinks.values()) == 48  # conservation: 12 requests x 4 spans
+    # trace-atomic: every sampled conversation keeps all 4 turns
+    per_conv = (
+        res.sampled_traces.groupBy("conv_id").count().collect()
+    )
+    assert per_conv and all(r["count"] == 4 for r in per_conv)

@@ -216,3 +216,31 @@ def encode_export_request(
     scope_spans = scope + span_fields
     resource_spans = field_bytes(1, resource) + field_bytes(2, scope_spans)
     return field_bytes(1, resource_spans)
+
+
+def transcripts_from_spans(spans: DataFrame) -> DataFrame:
+    """Adapt decoded OTLP spans to the engine's transcripts schema
+    (span ↔ turn, trace ↔ conversation — the same mapping the whole engine
+    is built on, SURVEY §1.1).
+
+    turn_idx = rank of the span within its trace by (start time, span id)
+    — one conv-keyed window pass, an adapter-level shuffle exactly like
+    sources/tables.transcripts_from_events (the pipeline proper never
+    shuffles the fact again)."""
+    from pyspark.sql import Window as W, functions as F
+
+    w = W.partitionBy("trace_id_hex").orderBy("start_unix_nano", "span_id_hex")
+    return spans.select(
+        F.col("trace_id_hex").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.coalesce(F.col("attrs")["role"], F.lit("tool")).alias("role"),
+        F.concat_ws(
+            " ",
+            F.col("name"),
+            F.concat(F.lit("service="), F.coalesce("service_name", F.lit("?"))),
+        ).alias("text"),
+        F.col("attrs")["tool"].alias("tool"),
+        F.timestamp_micros((F.col("start_unix_nano") / 1000).cast("long")).alias(
+            "ts"
+        ),
+    )
