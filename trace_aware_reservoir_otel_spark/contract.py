@@ -854,6 +854,56 @@ def _oracle_parse_pandas() -> str:
     """
 
 
+def _q_flagship_via_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME flagship semantics executed through the resumable
+    checkpoint path (plans/state.py: time-slice units -> durable partials
+    -> finalize) — oracle-checked against the identical SQL as
+    `flagship_pipeline`, proving the unit/merge algebra end-to-end on the
+    driver tables, not just in pytest."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.config import PipelineConfig
+    from trace_aware_reservoir_otel_spark.plans.state import run_with_checkpoint
+    from trace_aware_reservoir_otel_spark.sources.tables import transcripts_from_events
+
+    tr = transcripts_from_events(spark, sf_dir)
+    cfg = PipelineConfig(
+        size_k=K_TRACE,
+        window_duration_s=DAY,
+        seed=SEED,
+        priority="int",
+        hash_impl="md5",
+        late_tolerance_s=10 * DAY,
+        run_id="contract-ckpt",
+    )
+    work = tempfile.mkdtemp(prefix="taro_ckpt_contract_")
+    try:
+        run_with_checkpoint(
+            spark, tr, cfg, f"{work}/state", f"{work}/out", n_units=3
+        )
+        routed = spark.read.parquet(f"{work}/out/routed")
+        out = routed.filter(F.col("sink") == "sampled_traces").select(
+            "conv_id",
+            "turn_idx",
+            "window_start_s",
+            "role",
+            "tool",
+            "role_kind",
+            "p_tool",
+            "p_dur_ms",
+            F.unix_timestamp("ts").alias("ts_s"),
+            "text",
+        )
+        # materialize before the temp dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_lib_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 via Spark's BUILT-IN session_window (the merging event-time
     session operator Catalyst plans natively — the batch analog of the
@@ -974,6 +1024,7 @@ def _library_queries():
         "parse_tool_calls_pandas_udf": _q_parse_pandas,
         "multimodal_media_stats": _q_multimodal_stats,
         "lib_session_window": _q_lib_session_window,
+        "flagship_via_checkpoint": _q_flagship_via_checkpoint,
     }
 
 
@@ -985,4 +1036,7 @@ def _library_oracles():
         "parse_tool_calls_pandas_udf": _oracle_parse_pandas(),
         "multimodal_media_stats": _oracle_multimodal_stats(),
         "lib_session_window": _oracle_lib_session_window(),
+        # same oracle as flagship_pipeline: the checkpoint path must
+        # reproduce the uninterrupted plan exactly
+        "flagship_via_checkpoint": _oracle_flagship(),
     }
