@@ -904,6 +904,81 @@ def _q_flagship_via_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_flagship_via_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME flagship semantics through Structured Streaming: the
+    transcripts land as files, a foreachBatch availableNow stream
+    accumulates batch_id-keyed state, and the rollover/flush export routes
+    every window — oracle-checked against the identical SQL as
+    `flagship_pipeline` (the reference's hot path IS streaming export,
+    processor.go:317-347)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.config import PipelineConfig
+    from trace_aware_reservoir_otel_spark.sources.tables import transcripts_from_events
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import (
+        flush_incremental,
+        run_incremental_routed,
+    )
+
+    cfg = PipelineConfig(
+        size_k=K_TRACE,
+        window_duration_s=DAY,
+        seed=SEED,
+        priority="int",
+        hash_impl="md5",
+        late_tolerance_s=10 * DAY,
+        run_id="contract-stream",
+    )
+    work = tempfile.mkdtemp(prefix="taro_stream_contract_")
+    try:
+        tr = transcripts_from_events(spark, sf_dir)
+        # two event-time-ordered input files -> two micro-batches
+        lo, hi = tr.agg(
+            F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+        ).first()
+        mid = (int(lo) + int(hi)) // 2
+        sec = F.unix_timestamp("ts")
+        tr.filter(sec < mid).write.mode("overwrite").parquet(f"{work}/in/f0")
+        tr.filter(sec >= mid).write.mode("overwrite").parquet(f"{work}/in/f1")
+        import glob
+        import os
+
+        files = sorted(glob.glob(f"{work}/in/f*/part-*.parquet"))
+        os.makedirs(f"{work}/stream_in", exist_ok=True)
+        for i, f in enumerate(files):
+            shutil.copy(f, f"{work}/stream_in/{i:04d}.parquet")
+        run_incremental_routed(
+            spark,
+            f"{work}/stream_in",
+            cfg,
+            f"{work}/state",
+            f"{work}/ck",
+            f"{work}/out",
+            max_files_per_trigger=max(1, len(files) // 2),
+        )
+        flush_incremental(spark, cfg, f"{work}/state", f"{work}/out")
+        routed = spark.read.parquet(f"{work}/out/routed")
+        out = routed.filter(F.col("sink") == "sampled_traces").select(
+            "conv_id",
+            "turn_idx",
+            "window_start_s",
+            "role",
+            "tool",
+            "role_kind",
+            "p_tool",
+            "p_dur_ms",
+            F.unix_timestamp("ts").alias("ts_s"),
+            "text",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_lib_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 via Spark's BUILT-IN session_window (the merging event-time
     session operator Catalyst plans natively — the batch analog of the
@@ -1025,6 +1100,7 @@ def _library_queries():
         "multimodal_media_stats": _q_multimodal_stats,
         "lib_session_window": _q_lib_session_window,
         "flagship_via_checkpoint": _q_flagship_via_checkpoint,
+        "flagship_via_streaming": _q_flagship_via_streaming,
     }
 
 
@@ -1036,7 +1112,8 @@ def _library_oracles():
         "parse_tool_calls_pandas_udf": _oracle_parse_pandas(),
         "multimodal_media_stats": _oracle_multimodal_stats(),
         "lib_session_window": _oracle_lib_session_window(),
-        # same oracle as flagship_pipeline: the checkpoint path must
-        # reproduce the uninterrupted plan exactly
+        # same oracle as flagship_pipeline: the checkpoint and streaming
+        # paths must reproduce the uninterrupted plan exactly
         "flagship_via_checkpoint": _oracle_flagship(),
+        "flagship_via_streaming": _oracle_flagship(),
     }
