@@ -289,3 +289,27 @@ def test_corrupt_media_never_fails_the_job(spark):
     assert got[0]["format"] == "corrupt_bmp" and got[0]["mean_r"] is None
     assert got[1]["format"] in ("corrupt_wav", "wav")  # fmt chunk may survive
     assert got[2]["format"] == "bmp"  # healthy blob unaffected
+
+
+def test_real_bmp_resize(spark):
+    from trace_aware_reservoir_otel_spark.operators.multimodal import (
+        decode_media_metadata,
+        make_bmp,
+        make_wav,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(0, make_bmp(width=8, height=6, rgb=(99, 50, 25))), (1, make_wav())],
+        "media_id long, payload binary",
+    )
+    resized = resize_images(df, out_w=4, out_h=3)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert rows[0]["resized"] and not rows[1]["resized"]
+    meta = {
+        r["media_id"]: r
+        for r in decode_media_metadata(resized.select("media_id", "payload")).collect()
+    }
+    assert (meta[0]["width"], meta[0]["height"]) == (4, 3)
+    assert meta[0]["mean_r"] == 99  # solid color survives resampling
+    assert meta[1]["format"] == "wav"  # non-image passthrough intact
