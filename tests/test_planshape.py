@@ -62,3 +62,28 @@ def test_similarity_near_pairs_plan_is_bucketed(spark):
     )
     plan = _plan_of(embedding_near_pairs(emb, threshold=0.9))
     assert "Cartesian" not in plan  # bucket equi-join, never all-pairs
+
+
+def test_unit_branch_prunes_text_column(spark, tmp_path):
+    """The unit-aggregation branch must scan only the narrow key columns —
+    a plan whose every scan reads `text` ships the whole corpus through
+    the aggregation at 100 TB."""
+    from pyspark.sql import functions as F
+
+    df = generate_transcripts(spark, n_convs=300, seed=3)
+    path = str(tmp_path / "tr")
+    df.write.mode("overwrite").parquet(path)
+    tr = spark.read.parquet(path)
+    cfg = PipelineConfig(size_k=8, window_duration_s=60, seed=42)
+    routed, _ = build_routed(tr, cfg)
+    plan = _plan_of(routed)
+    schemas = [
+        line.split("ReadSchema:", 1)[1]
+        for line in plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+    assert schemas, "expected parquet scans in the plan"
+    narrow = [s for s in schemas if "text" not in s]
+    wide = [s for s in schemas if "text" in s]
+    assert narrow, f"no pruned scan found: {schemas}"
+    assert wide, "the routed output scan must still carry text"
