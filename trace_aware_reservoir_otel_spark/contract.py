@@ -582,6 +582,24 @@ def q_doc_fingerprint(d: Dialect) -> str:
     """
 
 
+def q_dataset_split(d: Dialect) -> str:
+    # deterministic train/val/test assignment: pure function of the doc id
+    # (a row's split never changes as the corpus grows — the property that
+    # matters for reproducible training sets)
+    h = d.pbig(f"'split:' || cast(doc_id as {d.str_t()})")
+    return f"""
+    select case
+             when {h} % 100 < 80 then 'train'
+             when {h} % 100 < 90 then 'val'
+             else 'test'
+           end as split,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(length(text)) as bigint) as n_chars
+    from documents
+    group by 1
+    """
+
+
 QUERY_BUILDERS: "dict[str, Callable[[Dialect], str]]" = {
     "checkpoint_projection": q_checkpoint_projection,
     "invalid_filter": q_invalid_filter,
@@ -612,6 +630,7 @@ QUERY_BUILDERS: "dict[str, Callable[[Dialect], str]]" = {
     "quality_score": q_quality_score,
     "dedup_exact": q_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
+    "dataset_split": q_dataset_split,
 }
 
 
@@ -851,6 +870,42 @@ def _oracle_parse_pandas() -> str:
            nullif(regexp_extract(text, '{pat}', 4), '') as p_span_hex
     from tr
     where nullif(regexp_extract(text, '{pat}', 1), '') is not null
+    """
+
+
+def _q_stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling: k docs per stratum (source), via the
+    SAME library reservoir as the flagship — `sample_rows` partitions by
+    any stratum column, not just time windows (training-data pipelines
+    balance sources/languages exactly this way)."""
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.operators.reservoir import sample_rows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    got = sample_rows(
+        docs, k=20, key_cols=["doc_id"], window_col="source",
+        seed=SEED, priority="int", salt_buckets=8,
+    )
+    return got.select("source", F.col("doc_id").cast("long").alias("doc_id"), "prio_int")
+
+
+def _oracle_stratified_doc_sample() -> str:
+    d = DUCK
+    return f"""
+    with pri as (
+      select source, doc_id,
+             {d.pbig("source || ':' || cast(doc_id as varchar)")} as prio_int
+      from documents
+    )
+    select source, doc_id, prio_int
+    from (select *, row_number() over (
+                 partition by source
+                 order by prio_int desc, cast(doc_id as varchar) asc) as rn
+          from pri)
+    where rn <= 20
     """
 
 
@@ -1101,6 +1156,7 @@ def _library_queries():
         "lib_session_window": _q_lib_session_window,
         "flagship_via_checkpoint": _q_flagship_via_checkpoint,
         "flagship_via_streaming": _q_flagship_via_streaming,
+        "stratified_doc_sample": _q_stratified_doc_sample,
     }
 
 
@@ -1116,4 +1172,5 @@ def _library_oracles():
         # paths must reproduce the uninterrupted plan exactly
         "flagship_via_checkpoint": _oracle_flagship(),
         "flagship_via_streaming": _oracle_flagship(),
+        "stratified_doc_sample": _oracle_stratified_doc_sample(),
     }
