@@ -87,3 +87,36 @@ def test_unit_branch_prunes_text_column(spark, tmp_path):
     wide = [s for s in schemas if "text" in s]
     assert narrow, f"no pruned scan found: {schemas}"
     assert wide, "the routed output scan must still carry text"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the join key must join with
+    ZERO shuffle exchanges — the write-once/join-many layout for repeated
+    fact-fact joins at scale."""
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    df = generate_transcripts(spark, n_convs=300, seed=5).filter(
+        F.col("conv_id").isNotNull()
+    )
+    units = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    write_bucketed(df.select("conv_id", "turn_idx", "ts"), "b_turns", ["conv_id"], 8)
+    write_bucketed(units, "b_units", ["conv_id"], 8)
+    try:
+        joined = read_bucketed(spark, "b_turns").join(
+            read_bucketed(spark, "b_units").hint("merge"), on="conv_id"
+        )
+        plan = _plan_of(joined)
+        shuffle_exchanges = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l
+        ]
+        assert not shuffle_exchanges, shuffle_exchanges
+        assert joined.count() == df.count()
+    finally:
+        spark.sql("drop table if exists b_turns")
+        spark.sql("drop table if exists b_units")
