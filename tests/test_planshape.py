@@ -120,3 +120,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("drop table if exists b_turns")
         spark.sql("drop table if exists b_units")
+
+
+def test_ivf_assign_plan_has_no_join_or_exchange(spark):
+    """ivf_assign must be a single projection (literal-fold argmax): a
+    join/explode/groupBy shape would materialize rows x n_centroids
+    intermediates through the aggregation machinery at scale."""
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    plan = _plan_of(ivf_assign(emb, ivf_centroids(emb, n_centroids=4, seed=42)))
+    for node in ("Join", "Cartesian", "Generate", "Expand", "Exchange", "Aggregate"):
+        assert node not in plan, f"{node} in ivf_assign plan:\n{plan}"

@@ -322,7 +322,7 @@ def ivf_centroids(
 
 def ivf_assign(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | list",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
@@ -331,25 +331,76 @@ def ivf_assign(
     (rounded, ties to the smaller centroid id — deterministic and
     engine-portable).
 
-    Plan shape: one pass — broadcast the tiny centroid table against the
-    corpus scan, then a map-side-combinable groupBy(id) argmax. The corpus
-    never shuffles pairwise; cost is O(rows * n_centroids) fused multiply-
-    adds inside codegen."""
-    cent = F.broadcast(centroids)
-    joined = df.select(
+    Plan shape: ZERO row inflation. The centroid table (bounded by
+    n_centroids) is collected driver-side and embedded as per-centroid
+    (sim, id) struct expressions; the argmax is ONE projection — an
+    `F.aggregate` fold over the struct array carrying (best_sim, best_id)
+    — entirely inside whole-stage codegen. No join, no explode, no
+    groupBy, no shuffle: cost is O(rows * n_centroids) multiply-adds with
+    no aggregation machinery (the round-2 shape was broadcast-crossJoin +
+    groupBy argmax, which materialized a rows x n_centroids intermediate
+    through the full aggregation path).
+
+    Expression size grows as n_centroids * dim literals; beyond ~10^3
+    centroids split the centroid list and fold the chunked winners (same
+    algebra — max is associative). `centroids` may be the `ivf_centroids`
+    DataFrame or its collected rows; the output centroid_id type follows
+    the centroid schema (or df's id_col for pre-collected rows), so
+    non-long ids (e.g. string doc ids) work.
+    """
+    if isinstance(centroids, DataFrame):
+        id_type = centroids.schema["centroid_id"].dataType
+        cent_rows = [
+            (r["centroid_id"], list(r["centroid_vec"])) for r in centroids.collect()
+        ]
+    else:
+        id_type = df.schema[id_col].dataType
+        cent_rows = [(r["centroid_id"], list(r["centroid_vec"])) for r in centroids]
+    if not cent_rows:
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast(id_type).alias("centroid_id"),
+            F.lit(None).cast("double").alias("sim"),
+        ).limit(0)
+
+    def _py_norm(vec: "list[float]") -> float:
+        # same op order as the `norm` fold (0.0, then += x*x left to right),
+        # so the literal is bit-identical to what the JVM fold would produce
+        import math
+
+        s = 0.0
+        for x in vec:
+            s += float(x) * float(x)
+        return math.sqrt(s)
+
+    scored = df.select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
-    ).crossJoin(cent)
-    sim = F.round(cosine(F.col("_v"), F.col("centroid_vec")), round_digits)
-    scored = joined.select(
-        F.col(id_col), F.col("centroid_id"), sim.alias("sim")
+    ).withColumn("_vn", norm(F.col("_v")))
+    structs = [
+        F.struct(
+            F.round(
+                dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in vec]))
+                / (F.col("_vn") * F.lit(_py_norm(vec))),
+                round_digits,
+            ).alias("sim"),
+            F.lit(cid).cast(id_type).alias("centroid_id"),
+        )
+        for cid, vec in cent_rows
+    ]
+    zero = F.struct(
+        F.lit(-2.0).alias("sim"), F.lit(None).cast(id_type).alias("centroid_id")
     )
-    best = scored.groupBy(id_col).agg(
-        F.min(F.struct((-F.col("sim")).alias("ns"), F.col("centroid_id")))[
-            "centroid_id"
-        ].alias("centroid_id"),
-        F.max("sim").alias("sim"),
+    better = lambda acc, x: F.when(  # noqa: E731 — fold step
+        (x["sim"] > acc["sim"])
+        | ((x["sim"] == acc["sim"]) & (x["centroid_id"] < acc["centroid_id"])),
+        x,
+    ).otherwise(acc)
+    best = F.aggregate(F.array(*structs), zero, better)
+    return scored.select(
+        F.col(id_col),
+        best["centroid_id"].alias("centroid_id"),
+        best["sim"].alias("sim"),
     )
-    return best
 
 
 def ann_topk_ivf(
@@ -382,11 +433,9 @@ def ann_topk_ivf(
         ((-cos_to_query(r["centroid_vec"]), r["centroid_id"]) for r in cents)
     )[:nprobe]
     probe_ids = [cid for _, cid in probed]
-    cent_df = df.sparkSession.createDataFrame(
-        [(r["centroid_id"], r["centroid_vec"]) for r in cents],
-        "centroid_id long, centroid_vec array<double>",
-    )
-    assigned = ivf_assign(df, cent_df, vec_col, id_col, round_digits or 6)
+    # pass the already-collected rows straight through — ivf_assign embeds
+    # them as literals, and the id type follows df's id_col (string ids OK)
+    assigned = ivf_assign(df, cents, vec_col, id_col, round_digits or 6)
     cand_ids = assigned.filter(F.col("centroid_id").isin(probe_ids)).select(id_col)
     cand = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
     return cosine_topk(cand, query_vec, k, vec_col, id_col, round_digits)
