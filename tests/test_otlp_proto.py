@@ -111,3 +111,14 @@ def test_otlp_payloads_through_flagship_pipeline(spark):
         res.sampled_traces.groupBy("conv_id").count().collect()
     )
     assert per_conv and all(r["count"] == 4 for r in per_conv)
+
+
+def test_negative_varint_encodes_as_two_complement():
+    """proto varints carry negative int64 as 64-bit two's complement (a
+    10-byte varint); the writer must mask rather than loop forever on
+    Python's sign-preserving right shift."""
+    enc = write_varint(-1)
+    assert len(enc) == 10
+    assert read_varint(enc, 0) == ((1 << 64) - 1, 10)
+    enc2 = write_varint(-2)
+    assert read_varint(enc2, 0)[0] == (1 << 64) - 2

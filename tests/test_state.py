@@ -215,3 +215,18 @@ def test_resume_rejects_changed_n_units(spark, data, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="n_units"):
         run_with_checkpoint(spark, data, CFG, s, str(base / "o"), n_units=8)
+
+
+def test_resume_rejects_grown_input(spark, data, tmp_path_factory):
+    """Rows outside the manifest-saved ts bounds at resume would silently
+    miss pre-aggregation (their windows would sample nothing) — refuse."""
+    base = tmp_path_factory.mktemp("state_bounds_guard")
+    s = str(base / "st")
+    run_with_checkpoint(
+        spark, data, CFG, s, str(base / "o"), n_units=4, fail_after_unit=0
+    )
+    grown = data.unionByName(
+        data.limit(5).withColumn("ts", F.col("ts") + F.expr("interval 30 days"))
+    )
+    with pytest.raises(ValueError, match="bounds"):
+        run_with_checkpoint(spark, grown, CFG, s, str(base / "o"), n_units=4)

@@ -1,0 +1,57 @@
+"""Durable single-writer manifest files (SURVEY §1.4 commit story).
+
+The reference keeps its durable bookkeeping in BadgerDB, whose writes are
+atomic (checkpoint.go:82-211). Round 2 appended JSONL with a local
+`open(..., "a")` — correct on one driver until a crash tears a line. This
+module replaces in-place appends with the write-temp + atomic-rename
+protocol:
+
+  read current manifest -> rewrite whole file to `<path>.tmp.<token>`
+  (flush + fsync) -> `os.replace` onto the final name.
+
+`os.replace` maps to rename(2) — atomic on POSIX and on HDFS; on
+object stores the same protocol holds with a conditional PUT of the
+manifest object (put-if-match on the previous version). Readers therefore
+always see a complete previous or complete next manifest, never a torn
+line — the property the exported-window / unit-done markers need so a
+crash between a sink write and its mark leads to an idempotent re-export,
+not a half-recorded one.
+
+Manifests here are driver-side bookkeeping: O(units + windows) records,
+rewritten wholesale per append — microseconds at any realistic cadence
+(one append per checkpoint unit or per closed window, not per row).
+Single-writer by design (one driver owns a state_dir), as with the
+reference's single-process Badger instance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+
+def read_jsonl(path: str) -> "list[dict]":
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def write_jsonl_atomic(path: str, records: "list[dict]") -> None:
+    """Replace `path` with `records`, atomically (temp + fsync + rename)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def append_jsonl_atomic(path: str, new_records: "list[dict]") -> None:
+    """Append records via read + whole-file atomic replace (never an
+    in-place append, so a crash mid-call leaves the previous manifest
+    intact and complete)."""
+    write_jsonl_atomic(path, read_jsonl(path) + list(new_records))

@@ -34,6 +34,11 @@ def read_varint(buf: bytes, pos: int) -> "tuple[int, int]":
 
 
 def write_varint(value: int) -> bytes:
+    if value < 0:
+        # proto varints encode negative int64 as 64-bit two's complement
+        # (a 10-byte varint); without the mask Python's sign-preserving
+        # right shift would loop forever
+        value &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = value & 0x7F

@@ -44,13 +44,13 @@ exist) 1 boundary fix-up — independent of n_units.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
+from trace_aware_reservoir_otel_spark import fsutil
 from trace_aware_reservoir_otel_spark.config import PipelineConfig
 from trace_aware_reservoir_otel_spark.functions.parse import with_parsed_fields
 from trace_aware_reservoir_otel_spark.operators.enrich import enrich
@@ -75,31 +75,24 @@ def _manifest_path(state_dir: str) -> str:
 
 
 def read_manifest(state_dir: str) -> "set[int]":
-    done = set()
-    path = _manifest_path(state_dir)
-    if os.path.exists(path):
-        with open(path) as f:
-            for line in f:
-                rec = json.loads(line)
-                if rec.get("status") == "done":
-                    done.add(rec["unit"])
-    return done
+    return {
+        rec["unit"]
+        for rec in fsutil.read_jsonl(_manifest_path(state_dir))
+        if rec.get("status") == "done"
+    }
 
 
 def read_bounds(state_dir: str) -> "dict | None":
-    path = _manifest_path(state_dir)
-    if os.path.exists(path):
-        with open(path) as f:
-            for line in f:
-                rec = json.loads(line)
-                if rec.get("type") == "bounds":
-                    return rec
+    for rec in fsutil.read_jsonl(_manifest_path(state_dir)):
+        if rec.get("type") == "bounds":
+            return rec
     return None
 
 
 def _append_manifest(state_dir: str, rec: dict) -> None:
-    with open(_manifest_path(state_dir), "a") as f:
-        f.write(json.dumps(rec) + "\n")
+    # write-temp + atomic rename (fsutil): a crash mid-append leaves the
+    # previous manifest complete, so restart re-runs the unit idempotently
+    fsutil.append_jsonl_atomic(_manifest_path(state_dir), [rec])
 
 
 def unit_bounds(
@@ -167,6 +160,8 @@ def process_unit(
     out = pre.withColumn("unit_id", F.lit(unit).cast("int")).withColumn(
         "run_id", F.lit(cfg.run_id)
     )
+    sobs = Observation(f"unit_{unit}_state_rows")
+    out = out.observe(sobs, F.count(F.lit(1)).alias("n"))
     out.write.mode("overwrite").parquet(f"{state_dir}/units/unit={unit}")
     n = int(obs.get["n"])
     _append_manifest(
@@ -178,6 +173,9 @@ def process_unit(
             "lo_s": lo,
             "hi_s": hi,
             "rows_scanned": n,
+            # state rows are known at write time (Observation on the write)
+            # so gauges never re-count the persisted parquet
+            "state_rows": int(sobs.get["n"]),
             "done_at": time.time(),
         },
     )
@@ -279,6 +277,24 @@ def run_with_checkpoint(
         )
     if saved is not None:
         bounds = [tuple(b) for b in saved["bounds"]]
+        # the slicing only covers the event-time span it was computed on:
+        # rows outside it at resume (input grew between crash and resume)
+        # would never be pre-aggregated into any unit and their windows
+        # would silently lose their winners — refuse, like the n_units guard
+        row = transcripts.agg(
+            F.min(F.unix_timestamp("ts")).alias("lo"),
+            F.max(F.unix_timestamp("ts")).alias("hi"),
+        ).first()
+        lo_all, hi_all = bounds[0][0], bounds[-1][1]
+        if row is not None and row["lo"] is not None and (
+            row["lo"] < lo_all or row["hi"] >= hi_all
+        ):
+            raise ValueError(
+                f"input ts span [{row['lo']}, {row['hi']}] exceeds the "
+                f"bounds [{lo_all}, {hi_all}) this state was sliced on; "
+                "input changed between crash and resume — use a fresh "
+                "state_dir (or re-slice) so the new rows are sampled"
+            )
     else:
         bounds = unit_bounds(transcripts, cfg, n_units)
         _append_manifest(
@@ -306,9 +322,14 @@ def state_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
     db size / compaction counters (metrics.go:96-145):
 
       state_manifest_age_s : seconds since the last manifest append
-      state_bytes          : on-disk size of the state tables
-      state_files          : file count (the compaction-pressure analog)
-      state_rows           : unit rows persisted
+      state_bytes          : on-disk size of the state DATA files (parquet
+                             only — _SUCCESS/.crc markers excluded, so the
+                             gauge tracks compaction pressure, not marker
+                             noise)
+      state_files          : parquet data-file count
+      state_rows           : unit rows persisted (from the manifest's
+                             write-time Observation counts — never
+                             re-counts the parquet)
       units_done           : manifest-complete units
     """
     path = _manifest_path(state_dir)
@@ -317,11 +338,14 @@ def state_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
     n_files = 0
     for root, _dirs, files in os.walk(state_dir):
         for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
             n_files += 1
             n_bytes += os.path.getsize(os.path.join(root, fn))
-    units_dir = f"{state_dir}/units"
-    n_rows = (
-        spark.read.parquet(units_dir).count() if os.path.exists(units_dir) else 0
+    n_rows = sum(
+        rec.get("state_rows", 0)
+        for rec in fsutil.read_jsonl(path)
+        if rec.get("status") == "done"
     )
     rows = [
         ("state_manifest_age_s", float(age)),

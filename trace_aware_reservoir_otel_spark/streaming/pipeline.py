@@ -45,6 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from trace_aware_reservoir_otel_spark import fsutil
 from trace_aware_reservoir_otel_spark.config import PipelineConfig
 from trace_aware_reservoir_otel_spark.schema import TRANSCRIPTS_SCHEMA
 
@@ -221,25 +222,22 @@ def incremental_winners(
 
 def _exported_windows(state_dir: str) -> "dict":
     """window -> batch_id at whose roll it was exported (None = flush)."""
-    path = os.path.join(state_dir, "exported.jsonl")
     out: "dict" = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            for line in f:
-                import json
-
-                rec = json.loads(line)
-                if rec["window"] not in out:
-                    out[rec["window"]] = rec.get("batch_id")
+    for rec in fsutil.read_jsonl(os.path.join(state_dir, "exported.jsonl")):
+        if rec["window"] not in out:
+            out[rec["window"]] = rec.get("batch_id")
     return out
 
 
 def _mark_exported(state_dir: str, windows: "list", batch_id: "int | None") -> None:
-    import json
-
-    with open(os.path.join(state_dir, "exported.jsonl"), "a") as f:
-        for w in windows:
-            f.write(json.dumps({"window": w, "batch_id": batch_id}) + "\n")
+    # atomic replace (fsutil): a crash between the sink write and this mark
+    # leaves the previous manifest complete, so restart re-routes the same
+    # windows onto the same per-window partitions — idempotent overwrite,
+    # never a torn manifest line
+    fsutil.append_jsonl_atomic(
+        os.path.join(state_dir, "exported.jsonl"),
+        [{"window": w, "batch_id": batch_id} for w in windows],
+    )
 
 
 def _prepared_batch(batch_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
