@@ -142,3 +142,27 @@ def test_ivf_assign_plan_has_no_join_or_exchange(spark):
     plan = _plan_of(ivf_assign(emb, ivf_centroids(emb, n_centroids=4, seed=42)))
     for node in ("Join", "Cartesian", "Generate", "Expand", "Exchange", "Aggregate"):
         assert node not in plan, f"{node} in ivf_assign plan:\n{plan}"
+
+
+def test_parquet_dims_join_stays_broadcast(spark, tmp_path):
+    """Dimension tables loaded from parquet files (the production lookup
+    layout) must still enrich via BroadcastHashJoin — never a fact-side
+    shuffle or SortMergeJoin."""
+    from trace_aware_reservoir_otel_spark.operators.enrich import (
+        enrich,
+        load_dims,
+        write_dims,
+    )
+
+    write_dims(spark, str(tmp_path / "dims"))
+    dim_role, dim_tool = load_dims(spark, str(tmp_path / "dims"))
+    tr = generate_transcripts(spark, n_convs=300, seed=11)
+    plan = _plan_of(enrich(tr, dim_role, dim_tool))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+    # end-to-end: file dims drive the full pipeline identically
+    cfg = PipelineConfig(size_k=8, window_duration_s=60, seed=42)
+    routed, _ = build_routed(tr, cfg, dim_role=dim_role, dim_tool=dim_tool)
+    assert "SortMergeJoin" not in _plan_of(routed)

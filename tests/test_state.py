@@ -31,7 +31,9 @@ def data(spark):
 
 
 def _sampled_set(spark, out_dir):
-    routed = spark.read.parquet(f"{out_dir}/routed")
+    from trace_aware_reservoir_otel_spark.plans.commit import read_committed
+
+    routed = read_committed(spark, f"{out_dir}/routed")
     return {
         (r["conv_id"], r["turn_idx"], r["text"])
         for r in routed.filter(F.col("sink") == "sampled_traces")
@@ -157,7 +159,9 @@ def test_window_expiry_guard(spark, data, tmp_path_factory):
     )
     assert "sampled_traces" not in counts_exp
     assert sum(counts_exp.values()) == sum(counts_live.values()) == data.count()
-    routed = spark.read.parquet(f"{o_exp}/routed")
+    from trace_aware_reservoir_otel_spark.plans.commit import read_committed
+
+    routed = read_committed(spark, f"{o_exp}/routed")
     reasons = {r["reason"] for r in routed.select("reason").distinct().collect()}
     assert "window_expired" in reasons
 

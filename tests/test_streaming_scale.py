@@ -1,0 +1,312 @@
+"""Continuous-run scale properties of the streaming fan-out: per-roll IO
+bounded by the closing windows (never the exported history), vacuum of
+exported state, crash-before-mark recovery, and mid-stream rollover under
+bounded lateness (late_tolerance_s + max_conv_span_s)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from trace_aware_reservoir_otel_spark import fsutil
+from trace_aware_reservoir_otel_spark.config import PipelineConfig
+from trace_aware_reservoir_otel_spark.plans.pipeline import run_pipeline
+from trace_aware_reservoir_otel_spark.streaming.pipeline import (
+    _exported_windows,
+    _metrics_path,
+    _read_epoch,
+    flush_incremental,
+    incremental_conservation,
+    run_incremental_routed,
+    streaming_metrics,
+)
+from trace_aware_reservoir_otel_spark.synth import generate_transcripts
+
+from tests.test_streaming import _routed_histogram, _write_stream_file
+
+
+def _write_time_sliced(spark, base, cfg, df, n_files):
+    """Split df into n_files window-aligned, time-ordered stream files."""
+    w = int(cfg.window_duration_s)
+    lo, hi = df.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    cuts = [
+        (int(lo + (hi - lo) * i / n_files) // w) * w for i in range(1, n_files)
+    ]
+    sec = F.unix_timestamp("ts")
+    in_dir = os.path.join(base, "in")
+    edges = [None, *cuts, None]
+    for i in range(n_files):
+        part = df
+        if edges[i] is not None:
+            part = part.filter(sec >= edges[i])
+        if edges[i + 1] is not None:
+            part = part.filter(sec < edges[i + 1])
+        _write_stream_file(part, in_dir, f"{i:03d}")
+    return in_dir
+
+
+def test_roll_io_is_bounded_by_closing_windows(spark, tmp_path_factory):
+    """THE continuous-run property: each export's row volume (Observation
+    on the routed write) equals exactly its own windows' spilled rows —
+    independent of how many windows were already exported — and the whole
+    stream's exports sum to ONE pass over the input."""
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None
+    )
+    base = str(tmp_path_factory.mktemp("stream_roll_io"))
+    df = generate_transcripts(spark, n_convs=150, seed=7)
+    in_dir = _write_time_sliced(spark, base, cfg, df, n_files=6)
+    state = os.path.join(base, "state")
+    out = os.path.join(base, "out")
+    run_incremental_routed(
+        spark, in_dir, cfg, state, os.path.join(base, "ck"), out
+    )
+    flush_incremental(spark, cfg, state, out)
+
+    epoch = _read_epoch(state)
+    recs = [
+        r for r in fsutil.read_jsonl(_metrics_path(state)) if r["type"] == "export"
+    ]
+    rolls = [r for r in recs if r["batch_id"] is not None]
+    assert len(rolls) >= 3, "expected several mid-stream rolls"
+    for rec in recs:
+        upto = rec["batch_id"] if rec["batch_id"] is not None else 1 << 62
+        keys = {("-1" if w is None else str(int(w))) for w in rec["windows"]}
+        expected = sum(
+            n
+            for e in epoch
+            if e["batch_id"] <= upto
+            for k, n in e["window_counts"].items()
+            if k in keys
+        )
+        assert rec["rows_total"] == expected, rec
+    assert sum(r["rows_total"] for r in recs) == df.count()
+
+
+def test_vacuum_removes_exported_state(spark, tmp_path_factory):
+    """Exported windows' spill/pre partitions must be deleted, so state
+    volume is O(open windows) on a continuous stream."""
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None
+    )
+    base = str(tmp_path_factory.mktemp("stream_vacuum"))
+    df = generate_transcripts(spark, n_convs=150, seed=7)
+    in_dir = _write_time_sliced(spark, base, cfg, df, n_files=6)
+    state = os.path.join(base, "state")
+    run_incremental_routed(
+        spark, in_dir, cfg, state, os.path.join(base, "ck"), os.path.join(base, "out")
+    )
+    done = _exported_windows(state)
+    rolled = {w for w, b in done.items() if b is not None}
+    assert rolled
+    leftovers = []
+    for sub in ("spill", "pre"):
+        root = os.path.join(state, sub)
+        for bdir in os.listdir(root):
+            for leaf in os.listdir(os.path.join(root, bdir)):
+                if not leaf.startswith("window_part="):
+                    continue
+                wv = int(leaf.split("=", 1)[1])
+                if wv in rolled:
+                    leftovers.append(f"{sub}/{bdir}/{leaf}")
+    assert not leftovers, leftovers
+
+
+def test_crash_before_mark_recovers_idempotently(spark, tmp_path_factory):
+    """Commit order is write -> metrics -> mark -> vacuum: killing the job
+    between the routed write and its mark must, on restart, re-route the
+    same windows onto the same partitions (overwrite) with no duplicates
+    and conservation intact."""
+    import trace_aware_reservoir_otel_spark.streaming.pipeline as sp
+
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None
+    )
+    base = str(tmp_path_factory.mktemp("stream_crash_mark"))
+    df = generate_transcripts(spark, n_convs=120, seed=9)
+    in_dir = _write_time_sliced(spark, base, cfg, df, n_files=4)
+    state = os.path.join(base, "state")
+    ck = os.path.join(base, "ck")
+    out = os.path.join(base, "out")
+
+    real_mark = sp._mark_exported
+    calls = {"n": 0}
+
+    def crashing_mark(state_dir, windows, batch_id):
+        if windows and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash between sink write and mark")
+        real_mark(state_dir, windows, batch_id)
+
+    sp._mark_exported = crashing_mark
+    try:
+        with pytest.raises(Exception, match="simulated crash"):
+            run_incremental_routed(spark, in_dir, cfg, state, ck, out)
+    finally:
+        sp._mark_exported = real_mark
+    assert _exported_windows(state) == {}  # crash preceded every mark
+
+    # restart on the same checkpoint: the uncommitted batch replays
+    run_incremental_routed(spark, in_dir, cfg, state, ck, out)
+    flush_incremental(spark, cfg, state, out)
+    got = _routed_histogram(spark.read.parquet(f"{out}/routed"))
+    exp = _routed_histogram(run_pipeline(df, cfg).routed)
+    assert got == exp
+    rows_in, rows_out = incremental_conservation(spark, state, out)
+    assert rows_in == rows_out == df.count()
+
+
+def test_lateness_rolls_mid_stream_equals_batch(spark, tmp_path_factory):
+    """With late_tolerance_s AND max_conv_span_s declared, rollover fires
+    mid-stream (the round-2 fallback deferred everything to flush) and the
+    union still equals the batch pipeline."""
+    df_probe = generate_transcripts(spark, n_convs=200, seed=7, span_s=40000)
+    span = (
+        df_probe.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias("s")
+        )
+        .agg(F.max("s"))
+        .first()[0]
+    )
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42,
+        late_tolerance_s=120.0, max_conv_span_s=float(span + 60),
+        buffer_max_convs=8,
+    )
+    base = str(tmp_path_factory.mktemp("stream_late_roll"))
+    in_dir = _write_time_sliced(spark, base, cfg, df_probe, n_files=5)
+    state = os.path.join(base, "state")
+    out = os.path.join(base, "out")
+    run_incremental_routed(
+        spark, in_dir, cfg, state, os.path.join(base, "ck"), out
+    )
+    rolled = {w for w, b in _exported_windows(state).items() if b is not None}
+    assert rolled, "expected mid-stream rolls with lateness on"
+    flush_incremental(spark, cfg, state, out)
+    got = _routed_histogram(spark.read.parquet(f"{out}/routed"))
+    exp = _routed_histogram(run_pipeline(df_probe, cfg).routed)
+    assert got == exp
+    rows_in, rows_out = incremental_conservation(spark, state, out)
+    assert rows_in == rows_out == df_probe.count()
+
+
+def test_span_violation_routes_to_dlq(spark, tmp_path_factory):
+    """A conversation whose observed event-time extent exceeds the
+    declared max_conv_span_s has unreliable late classification — its rows
+    route to dlq(span_violation) explicitly instead of exporting a stale
+    decision."""
+    t0 = 1704067200
+    rows = [
+        # compliant conv: span 120 <= 300
+        ("conv-ok", 0, "user", "a", None, t0),
+        ("conv-ok", 1, "assistant", "b", None, t0 + 30),
+        ("conv-ok", 2, "user", "c", None, t0 + 120),
+        # violator: span 490 > 300, both turns in file 0
+        ("conv-bad", 0, "user", "d", None, t0 + 10),
+        ("conv-bad", 1, "assistant", "e", None, t0 + 500),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, sec long"
+    )
+    mk = lambda rs: (  # noqa: E731
+        spark.createDataFrame(rs, schema)
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+        .drop("sec")
+    )
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42,
+        late_tolerance_s=60.0, max_conv_span_s=300.0,
+    )
+    base = str(tmp_path_factory.mktemp("stream_span_viol"))
+    in_dir = os.path.join(base, "in")
+    _write_stream_file(mk(rows), in_dir, "000")
+    # later file advances the watermark far enough to roll everything
+    _write_stream_file(
+        mk([("conv-x", 0, "user", "z", None, t0 + 5000)]), in_dir, "001"
+    )
+    state = os.path.join(base, "state")
+    out = os.path.join(base, "out")
+    run_incremental_routed(
+        spark, in_dir, cfg, state, os.path.join(base, "ck"), out
+    )
+    rolled = {w for w, b in _exported_windows(state).items() if b is not None}
+    assert rolled, "violator windows must roll mid-stream"
+    flush_incremental(spark, cfg, state, out)
+    routed = spark.read.parquet(f"{out}/routed")
+    by_conv = {
+        (r["conv_id"], r["turn_idx"]): (r["sink"], r["reason"])
+        for r in routed.collect()
+    }
+    assert by_conv[("conv-bad", 0)] == ("dlq", "span_violation")
+    assert by_conv[("conv-bad", 1)] == ("dlq", "span_violation")
+    assert by_conv[("conv-ok", 0)][0] == "sampled_traces"
+    rows_in, rows_out = incremental_conservation(spark, state, out)
+    assert rows_in == rows_out == 6
+    gauges = {
+        r["metric"]: r["value"] for r in streaming_metrics(spark, state).collect()
+    }
+    assert gauges["rows_in"] == 6
+    assert gauges["rows_dlq"] >= 2
+
+
+def test_convstart_compaction_preserves_lateness(spark, tmp_path_factory):
+    """With the compaction threshold forced low, conv-start partials fold
+    into the snapshot mid-stream; lateness classification and conservation
+    are unchanged (min/max merges are idempotent)."""
+    from trace_aware_reservoir_otel_spark.plans.commit import current_version
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import (
+        merged_conv_starts,
+    )
+
+    df = generate_transcripts(spark, n_convs=120, seed=7, span_s=40000)
+    span = (
+        df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias("s")
+        )
+        .agg(F.max("s"))
+        .first()[0]
+    )
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42,
+        late_tolerance_s=120.0, max_conv_span_s=float(span + 60),
+    )
+    base = str(tmp_path_factory.mktemp("stream_cs_compact"))
+    in_dir = _write_time_sliced(spark, base, cfg, df, n_files=4)
+    state = os.path.join(base, "state")
+    out = os.path.join(base, "out")
+    run_incremental_routed(
+        spark, in_dir, cfg, state, os.path.join(base, "ck"), out,
+        convstart_compact_threshold=1,
+    )
+    assert current_version(f"{state}/convstart_compacted") is not None
+    # index integrity after compaction: one row per conversation, starts
+    # equal the batch-derived root-turn timestamps
+    starts = {
+        r["conv_id"]: r["ts_of_min_turn"]
+        for r in merged_conv_starts(spark, state).collect()
+    }
+    exp_starts = {
+        r["conv_id"]: r["t"]
+        for r in df.filter(
+            F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.min(
+                F.struct(F.col("turn_idx"), F.unix_timestamp("ts").alias("t"))
+            )["t"].alias("t")
+        )
+        .collect()
+    }
+    assert starts == exp_starts
+    flush_incremental(spark, cfg, state, out)
+    got = _routed_histogram(spark.read.parquet(f"{out}/routed"))
+    exp = _routed_histogram(run_pipeline(df, cfg).routed)
+    assert got == exp

@@ -59,6 +59,19 @@ class PipelineConfig:
                         instead of being silently mis-windowed (the
                         reference rolls late spans into the next window,
                         window.go:75-105 — documented divergence).
+    max_conv_span_s   : declared upper bound on a conversation's event-time
+                        extent (first to last turn). With late_tolerance_s
+                        set, this enables MID-STREAM rollover export: once
+                        the event-time high watermark passes
+                        window_end + late_tolerance + max_conv_span, no
+                        compliant conversation's root-turn timestamp can
+                        still change, so the window's late classification
+                        is final and it exports immediately (the
+                        reference's continuous export, processor.go:317-347).
+                        Conversations observed to violate the bound route
+                        to dlq(reason='span_violation') explicitly. None
+                        (default) = no bound: with lateness on, export
+                        defers to flush.
     seed              : sampling seed; priorities are pure functions of
                         (seed, conv_id) so runs are bit-reproducible
                         (unlike reservoir.go:52-54 time-seeded RNG).
@@ -76,6 +89,7 @@ class PipelineConfig:
     trace_aware: bool = True
     buffer_max_convs: "int | None" = None
     late_tolerance_s: float = 3600.0
+    max_conv_span_s: "float | None" = None
     seed: int = 42
     salt_buckets: int = 16
     weight_col: "str | None" = None
@@ -103,11 +117,13 @@ class PipelineConfig:
             raise ValueError(f"unknown hash_impl {self.hash_impl!r}")
         if self.late_tolerance_s is not None and self.late_tolerance_s < 0:
             raise ValueError("late_tolerance_s must be >= 0 or None (disabled)")
+        if self.max_conv_span_s is not None and self.max_conv_span_s <= 0:
+            raise ValueError("max_conv_span_s must be positive or None (no bound)")
 
     @classmethod
     def from_dict(cls, d: dict) -> "PipelineConfig":
         d = dict(d)
-        for key in ("window_duration", "late_tolerance"):
+        for key in ("window_duration", "late_tolerance", "max_conv_span"):
             if key in d:
                 d[key + "_s"] = parse_duration(d.pop(key))
         return cls(**d)

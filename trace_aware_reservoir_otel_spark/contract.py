@@ -939,7 +939,9 @@ def _q_flagship_via_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_with_checkpoint(
             spark, tr, cfg, f"{work}/state", f"{work}/out", n_units=3
         )
-        routed = spark.read.parquet(f"{work}/out/routed")
+        from trace_aware_reservoir_otel_spark.plans.commit import read_committed
+
+        routed = read_committed(spark, f"{work}/out/routed")
         out = routed.filter(F.col("sink") == "sampled_traces").select(
             "conv_id",
             "turn_idx",
@@ -1146,6 +1148,57 @@ def _oracle_multimodal_stats() -> str:
     """
 
 
+def _q_enrich_from_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension tables loaded from PARQUET FILES (the production lookup
+    layout) through operators.enrich.load_dims — the joins stay explicit
+    broadcasts (plan-asserted in tests/test_planshape.py), output
+    identical to the inline-dim path."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.operators.enrich import (
+        enrich,
+        load_dims,
+        write_dims,
+    )
+    from trace_aware_reservoir_otel_spark.sources.tables import transcripts_from_events
+
+    work = tempfile.mkdtemp(prefix="taro_dims_contract_")
+    try:
+        write_dims(spark, work)
+        dim_role, dim_tool = load_dims(spark, work)
+        out = (
+            enrich(transcripts_from_events(spark, sf_dir), dim_role, dim_tool)
+            .groupBy("role_kind", "is_human")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _oracle_enrich_from_files() -> str:
+    # the dim files hold schema.DIM_ROLE_ROWS; roles present in the
+    # events-derived transcripts are user/assistant/tool
+    return """
+    with tr as (
+      select case when event_type in ('click', 'view') then 'user'
+                  when event_type in ('purchase', 'signup') then 'assistant'
+                  else 'tool' end as role
+      from events
+    )
+    select case role when 'user' then 'human' when 'assistant' then 'model'
+                     when 'system' then 'control' else 'machine' end as role_kind,
+           (role = 'user') as is_human,
+           cast(count(*) as bigint) as n_rows
+    from tr
+    group by 1, 2
+    """
+
+
 def _library_queries():
     return {
         "lib_reservoir_events": _q_lib_reservoir_events,
@@ -1157,6 +1210,7 @@ def _library_queries():
         "flagship_via_checkpoint": _q_flagship_via_checkpoint,
         "flagship_via_streaming": _q_flagship_via_streaming,
         "stratified_doc_sample": _q_stratified_doc_sample,
+        "enrich_from_files": _q_enrich_from_files,
     }
 
 
@@ -1173,4 +1227,5 @@ def _library_oracles():
         "flagship_via_checkpoint": _oracle_flagship(),
         "flagship_via_streaming": _oracle_flagship(),
         "stratified_doc_sample": _oracle_stratified_doc_sample(),
+        "enrich_from_files": _oracle_enrich_from_files(),
     }

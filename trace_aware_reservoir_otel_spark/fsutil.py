@@ -55,3 +55,21 @@ def append_jsonl_atomic(path: str, new_records: "list[dict]") -> None:
     in-place append, so a crash mid-call leaves the previous manifest
     intact and complete)."""
     write_jsonl_atomic(path, read_jsonl(path) + list(new_records))
+
+
+def upsert_jsonl_atomic(path: str, rec: dict, key_fields: "tuple[str, ...]") -> None:
+    """Replace-or-append by key — an at-least-once writer (micro-batch
+    replay, flush re-run) rewrites its own record instead of duplicating
+    it, keeping sum-over-records semantics exactly-once."""
+
+    def key(r: dict):
+        return tuple(_norm_key(r.get(k)) for k in key_fields)
+
+    kept = [r for r in read_jsonl(path) if key(r) != key(rec)]
+    write_jsonl_atomic(path, kept + [rec])
+
+
+def _norm_key(v):
+    if isinstance(v, list):
+        return tuple(sorted((x is None, x) for x in v))
+    return v

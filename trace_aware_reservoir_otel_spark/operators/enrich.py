@@ -28,6 +28,26 @@ def dim_tool_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(DIM_TOOL_ROWS, DIM_TOOL_SCHEMA)
 
 
+def write_dims(spark: SparkSession, dim_dir: str) -> None:
+    """Materialize the canonical dimension tables as parquet — the
+    production layout (a lookup table maintained next to the facts, not a
+    literal embedded in the job)."""
+    dim_role_df(spark).write.mode("overwrite").parquet(f"{dim_dir}/dim_role")
+    dim_tool_df(spark).write.mode("overwrite").parquet(f"{dim_dir}/dim_tool")
+
+
+def load_dims(spark: SparkSession, dim_dir: str) -> "tuple[DataFrame, DataFrame]":
+    """(dim_role, dim_tool) from parquet. Pass these to `enrich` / the
+    pipeline entrypoints: the joins stay explicit `F.broadcast`, so the
+    plan is a BroadcastHashJoin with zero fact-side shuffle whether the
+    dims come from literals or from files (plan-asserted in
+    tests/test_planshape.py)."""
+    return (
+        spark.read.parquet(f"{dim_dir}/dim_role"),
+        spark.read.parquet(f"{dim_dir}/dim_tool"),
+    )
+
+
 def enrich(
     df: DataFrame,
     dim_role: "DataFrame | None" = None,

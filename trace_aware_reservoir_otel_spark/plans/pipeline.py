@@ -159,10 +159,19 @@ def _units_from_pre(
     valid: DataFrame,
     cfg: PipelineConfig,
     persisted_out: "list[DataFrame] | None" = None,
+    conv_starts: "DataFrame | None" = None,
 ) -> "tuple[DataFrame, DataFrame | None]":
     """Classify lateness over a unit pre-aggregate and return the sampling
     population. `valid` is consulted ONLY for the (rare) boundary units'
     row-level fix-up, via a broadcast semi-join.
+
+    `conv_starts` (conv_id, min_turn, ts_of_min_turn), when given, supplies
+    GLOBAL conversation starts from an external index — the streaming
+    rollover path uses it so a window-restricted `pre` (only the closing
+    windows' partitions are ever read) still classifies lateness against
+    the same root-turn timestamps the batch plan derives. Merge rule is
+    identical (lexicographic min over (min_turn, ts)), so the two sources
+    agree value-for-value.
 
     Returns (units, late_units):
       units      : on-time (window, conv, n_turns[, _w]) with priorities —
@@ -179,6 +188,26 @@ def _units_from_pre(
             *(["_w"] if weighted else []),
         )
         return _with_unit_priorities(units, cfg, weighted), None
+
+    if conv_starts is not None:
+        # external conv-level index: a unit-level equi-join on conv_id
+        # (starts are O(conversations) — never fact rows); coalesce is a
+        # never-hit-by-construction fallback to the unit's own root ts
+        starts = conv_starts.select(
+            "conv_id", F.col("ts_of_min_turn").alias("_conv_start")
+        )
+        joined = pre.join(starts, on="conv_id", how="left")
+        conv_start = F.coalesce(F.col("_conv_start"), F.col("ts_of_min_turn"))
+        flagged = (
+            joined.withColumn(
+                "cutoff_s", conv_start - F.lit(float(cfg.late_tolerance_s))
+            )
+            .drop("_conv_start")
+            .persist()
+        )
+        if persisted_out is not None:
+            persisted_out.append(flagged)
+        return _classify_flagged(flagged, valid, cfg, weighted)
 
     # conversation start = ts of the globally-minimal turn_idx (root turn),
     # via a window function over the unit frame partitioned by conv — ONE
@@ -198,6 +227,14 @@ def _units_from_pre(
     )
     if persisted_out is not None:
         persisted_out.append(flagged)
+    return _classify_flagged(flagged, valid, cfg, weighted)
+
+
+def _classify_flagged(
+    flagged: DataFrame, valid: DataFrame, cfg: PipelineConfig, weighted: bool
+) -> "tuple[DataFrame, DataFrame | None]":
+    """Shared tail of _units_from_pre: per-unit late status from the
+    cutoff, with the row-level boundary fix-up."""
     status = (
         F.when(F.col("max_ts_s") < F.col("cutoff_s"), F.lit("all_late"))
         .when(F.col("min_ts_s") >= F.col("cutoff_s"), F.lit("on_time"))
@@ -502,23 +539,30 @@ def write_sinks(result: PipelineResult, out_dir: str) -> "dict[str, int]":
     Per-sink counts come from the Observation API attached to the write
     itself (operators/metrics.py) — zero extra passes; the written output
     is never re-read (analog of the reference's counter gate,
-    metrics.go:47-142)."""
+    metrics.go:47-142).
+
+    Both tables land through the snapshot-commit protocol
+    (plans/commit.py): the write goes to a fresh immutable version
+    directory and becomes visible only at the atomic pointer swap, so a
+    killed write never leaves a half-overwritten table readable. Read the
+    results with plans.commit.read_committed."""
     from trace_aware_reservoir_otel_spark.operators.metrics import observed_routed
+    from trace_aware_reservoir_otel_spark.plans import commit
 
     observed, obs = observed_routed(result.routed)
-    (
+    commit.commit_write(
         observed.withColumn(
             "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
-        )
-        .write.mode("overwrite")
-        .partitionBy("sink", "window_part")
-        .parquet(f"{out_dir}/routed")
+        ),
+        f"{out_dir}/routed",
+        partition_by=["sink", "window_part"],
     )
     vals = obs.get
     mobs = Observation("taro_metrics_rows")
-    result.metrics.observe(mobs, F.count(F.lit(1)).alias("n")).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/metrics")
+    commit.commit_write(
+        result.metrics.observe(mobs, F.count(F.lit(1)).alias("n")),
+        f"{out_dir}/metrics",
+    )
     counts = {
         "sampled_traces": int(vals["rows_sampled"]),
         "overflow": int(vals["rows_overflow"]),

@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from trace_aware_reservoir_otel_spark import fsutil
 from trace_aware_reservoir_otel_spark.config import PipelineConfig
+from trace_aware_reservoir_otel_spark.plans import commit
 from trace_aware_reservoir_otel_spark.functions.parse import with_parsed_fields
 from trace_aware_reservoir_otel_spark.operators.enrich import enrich
 from trace_aware_reservoir_otel_spark.operators.windows import with_tumbling_window
@@ -235,19 +236,29 @@ def finalize(
             for s in ("sampled_traces", "overflow", "dlq")
         ],
     )
-    observed.withColumn(
-        "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
-    ).write.mode("overwrite").partitionBy("sink").parquet(f"{out_dir}/routed")
+    # snapshot-commit (plans/commit.py): the routed table becomes readable
+    # only at the atomic pointer swap — a kill mid-write leaves readers on
+    # the previous complete snapshot, never a half-overwritten partition
+    commit.commit_write(
+        observed.withColumn(
+            "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
+        ),
+        f"{out_dir}/routed",
+        partition_by=["sink"],
+    )
     vals = obs.get
     counts = {
         s: int(vals[s])
         for s in ("sampled_traces", "overflow", "dlq")
         if int(vals[s]) > 0
     }
-    spark.createDataFrame(
-        [(s, n, cfg.run_id) for s, n in counts.items()],
-        "sink string, rows long, run_id string",
-    ).write.mode("overwrite").parquet(f"{out_dir}/metrics")
+    commit.commit_write(
+        spark.createDataFrame(
+            [(s, n, cfg.run_id) for s, n in counts.items()],
+            "sink string, rows long, run_id string",
+        ),
+        f"{out_dir}/metrics",
+    )
     for df in persisted:
         df.unpersist()
     return counts

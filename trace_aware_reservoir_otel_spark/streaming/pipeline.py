@@ -26,14 +26,32 @@ Spark-first, the same semantics split into three composable pieces:
    construction (fixes §2.11.3 double-count).
  - `run_incremental_routed`  : the full streaming fan-out — the analog of
    the reference's hot path, rollover export (processor.go:317-347). Rows
-   buffer per window (spill, batch_id-keyed); when the event-time high
-   watermark passes a window's end, that window's rows are routed with the
-   merged state (winners/capacity/invalid via the SAME apply_routing as
-   the batch plan) and written with per-window dynamic partition overwrite
-   — idempotent under micro-batch replay. `flush_incremental` routes
-   whatever windows remain open at stream end. Union of all rollover
-   exports == the batch pipeline's routed output on the same input, with
-   per-epoch conservation bookkeeping.
+   buffer per window (spill, batch_id-keyed AND window-sub-partitioned);
+   when the event-time high watermark passes a window's rollover horizon,
+   that window's rows are routed with state read from ONLY its own
+   partitions (winners/capacity/invalid via the SAME apply_routing as the
+   batch plan), written with per-window dynamic partition overwrite —
+   idempotent under micro-batch replay — and its state is vacuumed.
+   `flush_incremental` routes whatever windows remain open at stream end.
+   Union of all rollover exports == the batch pipeline's routed output on
+   the same input.
+
+Continuous-run posture (the properties a months-long deployment needs,
+asserted in tests/test_streaming_scale.py):
+ - roll decisions come from a tiny driver-side epoch manifest (per-batch
+   row counts, per-window membership, high watermark) — zero state-table
+   reads per roll;
+ - per-roll IO is O(closing windows) via explicit leaf-directory reads;
+   summed over the stream's life, spill is read exactly ONCE;
+ - exported windows' spill/pre partitions are vacuumed, so state volume
+   is O(open windows) + the compact conv-start index;
+ - lateness: with `late_tolerance_s` plus a declared `max_conv_span_s`,
+   rollover fires mid-stream (horizon = window end + tolerance + span;
+   global conversation starts come from the conv-start index; observed
+   bound violators route to dlq/span_violation). With tolerance but no
+   span bound, export defers to flush — same output, one pass later;
+ - conservation/metrics come from Observations attached to the routed
+   writes, persisted in a metrics manifest — never a re-read of output.
 """
 
 from __future__ import annotations
@@ -42,6 +60,7 @@ import os
 from typing import Iterator
 
 import pandas as pd
+from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -148,7 +167,11 @@ def streaming_sessionize(
 def _write_pre(batch_df: DataFrame, batch_id: int, cfg: PipelineConfig, state_dir: str) -> None:
     """One micro-batch's unit partials, written idempotently: the path is
     keyed by batch_id and overwritten, so an at-least-once foreachBatch
-    replay rewrites identical content instead of double-appending."""
+    replay rewrites identical content instead of double-appending. Within
+    the batch directory, partials are sub-partitioned by `window_part`, so
+    rollover reads exactly the closing windows' leaf directories and
+    vacuum deletes an exported window's state with a directory remove —
+    per-roll IO is O(closing windows), not O(total state history)."""
     from trace_aware_reservoir_otel_spark.operators.windows import with_tumbling_window
     from trace_aware_reservoir_otel_spark.plans.pipeline import _unit_pre_aggregate
 
@@ -158,7 +181,11 @@ def _write_pre(batch_df: DataFrame, batch_id: int, cfg: PipelineConfig, state_di
     pre = _unit_pre_aggregate(
         with_tumbling_window(valid, "ts", cfg.window_duration_s), cfg
     )
-    pre.write.mode("overwrite").parquet(f"{state_dir}/pre/batch_id={batch_id}")
+    pre.withColumn(
+        "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
+    ).write.mode("overwrite").partitionBy("window_part").parquet(
+        f"{state_dir}/pre/batch_id={batch_id}"
+    )
 
 
 def run_incremental(
@@ -197,7 +224,7 @@ def merged_units(spark: SparkSession, state_dir: str, cfg: PipelineConfig) -> Da
         _with_unit_priorities,
     )
 
-    pre = spark.read.parquet(f"{state_dir}/pre").drop("batch_id")
+    pre = spark.read.parquet(f"{state_dir}/pre").drop("batch_id", "window_part")
     merged = _merge_pre(pre, cfg).withColumnRenamed("n_all", "n_turns")
     weighted = cfg.weight_col is not None
     keep = ["window_start_s", "conv_id", "n_turns", "min_ts_s", "max_ts_s",
@@ -220,12 +247,21 @@ def incremental_winners(
 # --- streaming routed fan-out (rollover export) ------------------------------
 
 
+def _wp_key(w) -> str:
+    """window value -> window_part directory key (-1 holds null-ts rows)."""
+    return "-1" if w is None else str(int(w))
+
+
+def _wp_val(key: str):
+    return None if key == "-1" else int(key)
+
+
 def _exported_windows(state_dir: str) -> "dict":
-    """window -> batch_id at whose roll it was exported (None = flush)."""
+    """window -> batch_id at whose roll it was exported (None = flush).
+    Keep-LAST per window: a re-export after a lost mark supersedes."""
     out: "dict" = {}
     for rec in fsutil.read_jsonl(os.path.join(state_dir, "exported.jsonl")):
-        if rec["window"] not in out:
-            out[rec["window"]] = rec.get("batch_id")
+        out[rec["window"]] = rec.get("batch_id")
     return out
 
 
@@ -240,6 +276,135 @@ def _mark_exported(state_dir: str, windows: "list", batch_id: "int | None") -> N
     )
 
 
+def _epoch_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "epoch.jsonl")
+
+
+def _read_epoch(state_dir: str) -> "list[dict]":
+    """Per-micro-batch bookkeeping records, deduped keep-last by batch_id
+    (a replayed batch upserts identical content). O(batches) tiny records
+    on the driver — the compact index that lets rollover decide which
+    windows close WITHOUT any Spark job over the state tables."""
+    by_batch: "dict" = {}
+    for rec in fsutil.read_jsonl(_epoch_path(state_dir)):
+        by_batch[rec["batch_id"]] = rec
+    return [by_batch[b] for b in sorted(by_batch)]
+
+
+def _metrics_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "metrics.jsonl")
+
+
+def _read_state_windows(
+    spark: SparkSession,
+    state_dir: str,
+    sub: str,
+    windows: "list",
+    epoch: "list[dict]",
+) -> "DataFrame | None":
+    """Read ONLY the given windows' state partitions, as an explicit list
+    of leaf directories (batch_id=N/window_part=W) derived from the epoch
+    index — reading a non-closing window's data is structurally
+    impossible, not merely optimizer-pruned. basePath keeps the partition
+    columns. Returns None when nothing exists (e.g. already vacuumed)."""
+    keys = {_wp_key(w) for w in windows}
+    paths = []
+    for rec in epoch:
+        for key in keys & set(rec.get("window_counts", {})):
+            p = f"{state_dir}/{sub}/batch_id={rec['batch_id']}/window_part={key}"
+            if os.path.isdir(p):
+                paths.append(p)
+    if not paths:
+        return None
+    return spark.read.option("basePath", f"{state_dir}/{sub}").parquet(*paths)
+
+
+def _write_convstart(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
+    """Per-batch conversation-start partials — the compact conv-level
+    index (O(conversations), ~10^3x smaller than the fact) that lets a
+    window-restricted rollover classify lateness against GLOBAL root-turn
+    timestamps. min/max merges are idempotent, so batch replay and
+    (future) compaction cannot double-count."""
+    valid = batch_df.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    )
+    cs = valid.groupBy("conv_id").agg(
+        F.min("turn_idx").alias("min_turn"),
+        F.min(F.struct(F.col("turn_idx"), F.unix_timestamp("ts").alias("_t")))[
+            "_t"
+        ].alias("ts_of_min_turn"),
+        F.min(F.unix_timestamp("ts")).alias("min_ts_s"),
+        F.max(F.unix_timestamp("ts")).alias("max_ts_s"),
+    )
+    cs.write.mode("overwrite").parquet(f"{state_dir}/convstart/batch_id={batch_id}")
+
+
+_CONVSTART_SCHEMA = (
+    "conv_id string, min_turn int, ts_of_min_turn bigint, "
+    "min_ts_s bigint, max_ts_s bigint"
+)
+
+
+def merged_conv_starts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Global per-conversation root-turn timestamps and ts extent, merged
+    from the compacted snapshot (if any) plus the per-batch partials —
+    with the SAME lexicographic-min rule the batch plan applies over its
+    unit frame, so the two sources agree value-for-value. min/max merges
+    are idempotent: a partial that was already folded into the snapshot
+    (crash between compaction commit and partial delete, or batch replay)
+    merges harmlessly."""
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    parts: "list[DataFrame]" = []
+    root = f"{state_dir}/convstart"
+    if os.path.isdir(root) and any(
+        d.startswith("batch_id=") for d in os.listdir(root)
+    ):
+        parts.append(spark.read.parquet(root).drop("batch_id"))
+    snap = f"{state_dir}/convstart_compacted"
+    if commit.current_version(snap) is not None:
+        parts.append(commit.read_committed(spark, snap))
+    if not parts:
+        return spark.createDataFrame([], _CONVSTART_SCHEMA)
+    cs = parts[0]
+    for p in parts[1:]:
+        cs = cs.unionByName(p)
+    return cs.groupBy("conv_id").agg(
+        F.min("min_turn").alias("min_turn"),
+        F.min(F.struct(F.col("min_turn").alias("mt"), F.col("ts_of_min_turn").alias("t")))[
+            "t"
+        ].alias("ts_of_min_turn"),
+        F.min("min_ts_s").alias("min_ts_s"),
+        F.max("max_ts_s").alias("max_ts_s"),
+    )
+
+
+def compact_conv_starts(spark: SparkSession, state_dir: str) -> int:
+    """Fold the per-batch conv-start partials into ONE snapshot table
+    (atomic pointer commit, plans/commit.py) and delete the folded
+    partials — keeps the index's file count O(1) over a months-long
+    stream instead of one directory per micro-batch. Crash-safe at every
+    step: the snapshot swap is atomic, and a partial surviving past its
+    fold (or rewritten by a batch replay) merges idempotently. Returns
+    the number of partial directories folded."""
+    import shutil
+
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    root = f"{state_dir}/convstart"
+    if not os.path.isdir(root):
+        return 0
+    batch_dirs = [d for d in os.listdir(root) if d.startswith("batch_id=")]
+    if not batch_dirs:
+        return 0
+    snap = f"{state_dir}/convstart_compacted"
+    commit.commit_write(merged_conv_starts(spark, state_dir), snap)
+    commit.expire_snapshots(snap, keep_last=1)
+    for d in batch_dirs:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return len(batch_dirs)
+
+
 def _prepared_batch(batch_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     from trace_aware_reservoir_otel_spark.functions.parse import with_parsed_fields
     from trace_aware_reservoir_otel_spark.operators.enrich import enrich
@@ -250,6 +415,28 @@ def _prepared_batch(batch_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def _vacuum_exported(state_dir: str, windows: "list") -> None:
+    """Delete exported windows' spill/pre leaf directories. Runs AFTER the
+    mark, so a crash in between leaves inert extra state (filtered out by
+    the done-set on every later roll), never missing state. Spill written
+    by LATER batches (stragglers) lands in new leaf dirs and survives
+    until flush routes it to dlq."""
+    import shutil
+
+    keys = {_wp_key(w) for w in windows}
+    for sub in ("spill", "pre"):
+        root = os.path.join(state_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for bdir in os.listdir(root):
+            if not bdir.startswith("batch_id="):
+                continue
+            for key in keys:
+                leaf = os.path.join(root, bdir, f"window_part={key}")
+                if os.path.isdir(leaf):
+                    shutil.rmtree(leaf)
+
+
 def _route_windows(
     spark: SparkSession,
     cfg: PipelineConfig,
@@ -257,12 +444,19 @@ def _route_windows(
     out_dir: str,
     windows: "list",
     batch_id: "int | None",
-    late_source: "DataFrame | None" = None,
 ) -> None:
-    """Route the spilled rows of the given (closed) windows using the
-    merged state and write them with per-window dynamic partition
-    overwrite — replay-idempotent. Shares apply_routing / winner
-    derivation with the batch plan, so the paths cannot drift."""
+    """Route the given (closed) windows' spilled rows using state read
+    from ONLY those windows' partitions, and write them with per-window
+    dynamic partition overwrite — replay-idempotent. Shares apply_routing
+    / winner derivation with the batch plan, so the paths cannot drift.
+
+    Scale shape: per roll this reads the closing windows' spill + unit
+    partials (explicit leaf paths) plus, when lateness is on, the compact
+    conv-start index — never the full state history. Summed over a
+    stream's life the spill reads are exactly ONE pass over the input.
+    Commit order: routed write -> metrics record (Observation counts) ->
+    exported marks -> vacuum; a crash between any two steps re-routes the
+    same windows idempotently on restart."""
     from trace_aware_reservoir_otel_spark.plans.pipeline import (
         _merge_pre,
         _units_from_pre,
@@ -272,59 +466,98 @@ def _route_windows(
 
     if not windows:
         return
-    non_null = [w for w in windows if w is not None]
-    has_null = any(w is None for w in windows)
-    spill = spark.read.parquet(f"{state_dir}/spill")
-    wcol = F.col("window_start_s")
-    sel = wcol.isin(non_null) if non_null else F.lit(False)
-    if has_null:
-        sel = sel | wcol.isNull()
-    rows = spill.filter(sel).drop("batch_id")
-
-    pre_all = spark.read.parquet(f"{state_dir}/pre").drop("batch_id")
-    merged = _merge_pre(pre_all, cfg)
+    epoch = _read_epoch(state_dir)
+    spill = _read_state_windows(spark, state_dir, "spill", windows, epoch)
+    if spill is None:
+        _mark_exported(state_dir, windows, batch_id)
+        return
+    rows = spill.drop("batch_id", "window_part")
+    pre_df = _read_state_windows(spark, state_dir, "pre", windows, epoch)
     invalid = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
-    if cfg.late_tolerance_s is not None:
-        # conv starts are global: classify over ALL windows' merged state,
-        # then restrict to the windows being exported
-        valid_rows = (late_source if late_source is not None else rows).filter(
-            ~invalid
+    persisted: "list[DataFrame]" = []
+    starts = None
+    if pre_df is not None:
+        merged = _merge_pre(pre_df.drop("batch_id", "window_part"), cfg)
+        if cfg.late_tolerance_s is not None:
+            starts = merged_conv_starts(spark, state_dir)
+        units, late_units = _units_from_pre(
+            merged, rows.filter(~invalid), cfg, persisted, conv_starts=starts
         )
-        units_all, late_units = _units_from_pre(merged, valid_rows, cfg)
+        kept_units, evicted_keys, winners = capacity_and_winners(units, cfg)
+        routed = rows.join(
+            F.broadcast(
+                winners.select("window_start_s", "conv_id").withColumn(
+                    "_won", F.lit(True)
+                )
+            ),
+            on=["window_start_s", "conv_id"],
+            how="left",
+        )
     else:
-        units_all, late_units = _units_from_pre(merged, rows, cfg)
-    units = units_all.filter(
-        F.col("window_start_s").isin(non_null) if non_null else F.lit(False)
-    )
-    if late_units is not None:
-        lsel = (
-            late_units["window_start_s"].isin(non_null) if non_null else F.lit(False)
-        )
-        late_units = late_units.filter(lsel)
-
-    kept_units, evicted_keys, winners = capacity_and_winners(units, cfg)
-    routed = rows.join(
-        F.broadcast(
-            winners.select("window_start_s", "conv_id").withColumn(
-                "_won", F.lit(True)
-            )
-        ),
-        on=["window_start_s", "conv_id"],
-        how="left",
-    )
+        late_units, evicted_keys = None, None
+        routed = rows.withColumn("_won", F.lit(None).cast("boolean"))
     routed = apply_routing(routed, invalid, late_units, evicted_keys)
 
+    if (
+        cfg.late_tolerance_s is not None
+        and cfg.max_conv_span_s is not None
+        and starts is not None
+    ):
+        # conversations already violating the declared span bound have
+        # unreliable late classification — route them out explicitly
+        # (dlq/span_violation) instead of exporting a stale decision
+        violators = starts.filter(
+            F.col("max_ts_s") - F.col("min_ts_s") > F.lit(float(cfg.max_conv_span_s))
+        ).select("conv_id", F.lit(True).alias("_span_viol"))
+        routed = routed.join(F.broadcast(violators), on="conv_id", how="left")
+        viol = F.coalesce(F.col("_span_viol"), F.lit(False)) & ~invalid
+        routed = (
+            routed.withColumn(
+                "reason", F.when(viol, F.lit("span_violation")).otherwise(F.col("reason"))
+            )
+            .withColumn("sink", F.when(viol, F.lit("dlq")).otherwise(F.col("sink")))
+            .drop("_span_viol")
+        )
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"roll_{batch_id}")
+    observed = routed.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_total"),
+        *[
+            F.sum((F.col("sink") == s).cast("long")).alias(s)
+            for s in ("sampled_traces", "overflow", "dlq")
+        ],
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        routed.withColumn(
+        observed.withColumn(
             "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
         ).write.mode("overwrite").partitionBy("window_part").parquet(
             f"{out_dir}/routed"
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for df in persisted:
+        df.unpersist()
+    vals = obs.get
+    fsutil.upsert_jsonl_atomic(
+        _metrics_path(state_dir),
+        {
+            "type": "export",
+            "windows": windows,
+            "batch_id": batch_id,
+            "rows_total": int(vals["rows_total"]),
+            "sampled_traces": int(vals["sampled_traces"]),
+            "overflow": int(vals["overflow"]),
+            "dlq": int(vals["dlq"]),
+        },
+        key_fields=("type", "windows"),
+    )
     _mark_exported(state_dir, windows, batch_id)
+    _vacuum_exported(state_dir, windows)
 
 
 def _roll(
@@ -335,21 +568,42 @@ def _roll(
     batch_id: int,
     watermark_s: float,
 ) -> None:
-    pre = spark.read.parquet(f"{state_dir}/pre")
-    hwm_row = pre.agg(F.max("max_ts_s").alias("h")).first()
-    if hwm_row is None or hwm_row["h"] is None:
+    """Close and export every window whose end passed the event-time high
+    watermark minus the required slack. Decisions come from the epoch
+    manifest alone — zero Spark jobs, zero state-table reads, regardless
+    of how many windows were already exported (the round-2 shape re-read
+    ALL spill+pre per roll).
+
+    Slack: `watermark_s` (disorder tolerance) plus, when lateness is on,
+    late_tolerance_s + max_conv_span_s — past that horizon no compliant
+    conversation's root-turn ts can still change (a future row would have
+    to sit > max_conv_span from a turn already seen in the window, i.e.
+    be a span violator), so late classification is final at export."""
+    epoch = _read_epoch(state_dir)
+    if not epoch:
         return
-    hwm = float(hwm_row["h"]) - watermark_s
+    hwm = max(
+        (r["max_ts_s"] for r in epoch if r.get("max_ts_s") is not None),
+        default=None,
+    )
+    if hwm is None:
+        return
+    slack = watermark_s
+    if cfg.late_tolerance_s is not None:
+        slack += float(cfg.late_tolerance_s) + float(cfg.max_conv_span_s)
+    horizon = float(hwm) - slack
     w = float(cfg.window_duration_s)
     done = _exported_windows(state_dir)
-    closed = [
-        r["window_start_s"]
-        for r in pre.select("window_start_s").distinct().collect()
-        if r["window_start_s"] is not None
-        and r["window_start_s"] + w <= hwm
-        and r["window_start_s"] not in done
-    ]
-    _route_windows(spark, cfg, state_dir, out_dir, sorted(closed), batch_id)
+    seen = {
+        _wp_val(k)
+        for rec in epoch
+        for k in rec.get("window_counts", {})
+        if k != "-1"
+    }
+    closed = sorted(
+        wv for wv in seen if wv + w <= horizon and wv not in done
+    )
+    _route_windows(spark, cfg, state_dir, out_dir, closed, batch_id)
 
 
 def run_incremental_routed(
@@ -361,33 +615,74 @@ def run_incremental_routed(
     out_dir: str,
     max_files_per_trigger: int = 1,
     watermark_s: float = 0.0,
+    convstart_compact_threshold: int = 64,
 ) -> None:
     """Streaming fan-out with rollover export (processor.go:317-347).
 
-    Per micro-batch: unit partials + parsed/enriched/windowed rows spill to
-    batch_id-keyed paths (overwrite — replay-idempotent); windows whose end
-    passed the event-time high watermark (minus `watermark_s` tolerance)
-    are routed with the merged state and written per-window. When
-    cfg.late_tolerance_s is set, mid-stream rollover is skipped (lateness
-    needs global conversation starts) and `flush_incremental` routes
-    everything at stream end — same output, one pass later.
+    Per micro-batch: unit partials + parsed/enriched/windowed rows spill
+    to batch_id-keyed, WINDOW-SUB-PARTITIONED paths (overwrite —
+    replay-idempotent); per-window row counts + the event-time high
+    watermark go to the epoch manifest (one tiny record per batch).
+    Windows past the rollover horizon are routed reading only their own
+    partitions and their spill/pre is vacuumed after the export mark —
+    state volume is O(open windows), per-roll IO is O(closing windows),
+    and the stream's total spill reads are ONE pass over the input
+    however long it runs.
 
-    State volume: spill holds only OPEN windows' rows in a real continuous
-    run (exported windows' spill can be vacuumed); partials are
-    O(conv-windows)."""
+    Lateness: with late_tolerance_s set and max_conv_span_s declared,
+    rollover still fires mid-stream (horizon extended by
+    tolerance + span; global conversation starts come from the compact
+    conv-start index; bound violators -> dlq/span_violation). With
+    tolerance set but NO span bound, conversation starts can move
+    arbitrarily late, so export defers to `flush_incremental` — same
+    output, one pass later."""
     stream = stream_transcripts(spark, input_dir, max_files_per_trigger)
-    rolling = cfg.late_tolerance_s is None
+    rolling = cfg.late_tolerance_s is None or cfg.max_conv_span_s is not None
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         _write_pre(batch_df, batch_id, cfg, state_dir)
         prepared = _prepared_batch(batch_df, cfg)
-        prepared.write.mode("overwrite").parquet(
+        prepared.withColumn(
+            "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
+        ).write.mode("overwrite").partitionBy("window_part").parquet(
             f"{state_dir}/spill/batch_id={batch_id}"
         )
-        n = batch_df.count()
-        spark.createDataFrame(
-            [(int(n),)], "rows_in long"
-        ).write.mode("overwrite").parquet(f"{state_dir}/epoch/batch_id={batch_id}")
+        if cfg.late_tolerance_s is not None:
+            _write_convstart(batch_df, batch_id, state_dir)
+            root = f"{state_dir}/convstart"
+            n_partials = sum(
+                1 for d in os.listdir(root) if d.startswith("batch_id=")
+            )
+            if n_partials > convstart_compact_threshold:
+                compact_conv_starts(spark, state_dir)
+        # per-window stats from the just-written spill (batch-sized, page-
+        # cache-warm) — replaces the round-2 full re-count of the batch
+        # source and feeds the epoch index that makes rolls manifest-only
+        try:
+            stats = (
+                spark.read.parquet(f"{state_dir}/spill/batch_id={batch_id}")
+                .groupBy("window_part")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(F.unix_timestamp("ts")).alias("mx"),
+                )
+                .collect()
+            )
+        except AnalysisException:
+            # an empty micro-batch's partitioned write emits no data files
+            stats = []
+        counts = {str(int(r["window_part"])): int(r["n"]) for r in stats}
+        mx = max((r["mx"] for r in stats if r["mx"] is not None), default=None)
+        fsutil.upsert_jsonl_atomic(
+            _epoch_path(state_dir),
+            {
+                "batch_id": int(batch_id),
+                "rows_in": int(sum(counts.values())),
+                "max_ts_s": int(mx) if mx is not None else None,
+                "window_counts": counts,
+            },
+            key_fields=("batch_id",),
+        )
         if rolling:
             _roll(spark, cfg, state_dir, out_dir, batch_id, watermark_s)
 
@@ -412,53 +707,95 @@ def flush_incremental(
     them into the next window, window.go:75-105 — its documented quirk).
     They route explicitly to dlq(reason='late_arrival') under
     `routed_stragglers` (overwritten wholesale at flush, so a repeated
-    flush stays idempotent), and they count in
-    `incremental_conservation`."""
-    spill = spark.read.parquet(f"{state_dir}/spill")
+    flush stays idempotent), their count is recorded from the write's
+    Observation, and they balance `incremental_conservation`."""
+    epoch = _read_epoch(state_dir)
     done = _exported_windows(state_dir)
-    remaining = [
-        r["window_start_s"]
-        for r in spill.select("window_start_s").distinct().collect()
-        if r["window_start_s"] not in done
-    ]
-    _route_windows(
-        spark, cfg, state_dir, out_dir, remaining, None,
-        late_source=spill.drop("batch_id"),
+    seen = {
+        _wp_val(k) for rec in epoch for k in rec.get("window_counts", {})
+    }
+    remaining = sorted(
+        (wv for wv in seen if wv not in done),
+        key=lambda v: (v is None, v),
     )
-    exported_rows = [
-        (w, b) for w, b in done.items() if w is not None and b is not None
-    ]
-    if not exported_rows:
+    _route_windows(spark, cfg, state_dir, out_dir, remaining, None)
+
+    # stragglers: exported windows' spill leaf dirs written by batches
+    # AFTER the export (vacuum at export time removed everything earlier)
+    strag_paths = []
+    for wv, b in done.items():
+        if wv is None or b is None:
+            continue
+        key = _wp_key(wv)
+        for rec in epoch:
+            if rec["batch_id"] > b and key in rec.get("window_counts", {}):
+                p = f"{state_dir}/spill/batch_id={rec['batch_id']}/window_part={key}"
+                if os.path.isdir(p):
+                    strag_paths.append(p)
+    if not strag_paths:
         return
-    exp_df = spark.createDataFrame(
-        exported_rows, "window_start_s long, _exported_at long"
+    from pyspark.sql import Observation
+
+    stragglers = spark.read.option("basePath", f"{state_dir}/spill").parquet(
+        *strag_paths
     )
-    stragglers = (
-        spill.join(F.broadcast(exp_df), on="window_start_s", how="inner")
-        .filter(F.col("batch_id") > F.col("_exported_at"))
-        .drop("_exported_at")
-    )
+    obs = Observation("stragglers")
     (
-        stragglers.withColumn("sink", F.lit("dlq"))
+        stragglers.observe(obs, F.count(F.lit(1)).alias("n"))
+        .withColumn("sink", F.lit("dlq"))
         .withColumn("reason", F.lit("late_arrival"))
-        .withColumn(
-            "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
-        )
         .drop("batch_id")
         .write.mode("overwrite")
         .parquet(f"{out_dir}/routed_stragglers")
     )
-
-
-def incremental_conservation(spark: SparkSession, state_dir: str, out_dir: str) -> "tuple[int, int]":
-    """(rows_in, rows_routed) — per-epoch input bookkeeping vs routed
-    output; equal iff every row was routed exactly once (the metrics gate,
-    metrics.go:47-142)."""
-    rows_in = int(
-        spark.read.parquet(f"{state_dir}/epoch").agg(F.sum("rows_in")).first()[0]
+    fsutil.upsert_jsonl_atomic(
+        _metrics_path(state_dir),
+        {"type": "stragglers", "rows_total": int(obs.get["n"])},
+        key_fields=("type",),
     )
-    rows_out = spark.read.parquet(f"{out_dir}/routed").count()
-    strag_dir = f"{out_dir}/routed_stragglers"
-    if os.path.exists(strag_dir):
-        rows_out += spark.read.parquet(strag_dir).count()
+
+
+def incremental_conservation(
+    spark: SparkSession, state_dir: str, out_dir: str
+) -> "tuple[int, int]":
+    """(rows_in, rows_routed) — equal iff every row was routed exactly
+    once (the metrics gate, metrics.go:47-142). rows_in sums the epoch
+    manifest; rows_routed sums the per-export metrics records, whose
+    counts came from Observations attached to the routed writes — actual
+    output-side evidence with ZERO re-reads of written parquet. A metrics
+    record counts only while its windows' current export marks still
+    point at it (a re-export after a lost mark supersedes the stale
+    record)."""
+    epoch = _read_epoch(state_dir)
+    rows_in = sum(r["rows_in"] for r in epoch)
+    done = _exported_windows(state_dir)
+    rows_out = 0
+    for rec in fsutil.read_jsonl(_metrics_path(state_dir)):
+        if rec.get("type") == "stragglers":
+            rows_out += rec["rows_total"]
+            continue
+        if all(done.get(wv) == rec["batch_id"] for wv in rec["windows"]):
+            rows_out += rec["rows_total"]
     return rows_in, rows_out
+
+
+def streaming_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Streaming-side gauges (S5 parity with plans/state.state_metrics):
+    per-sink routed totals, epochs processed, windows exported — all from
+    the manifests' Observation-backed records, no state re-reads."""
+    epoch = _read_epoch(state_dir)
+    done = _exported_windows(state_dir)
+    sinks = {"sampled_traces": 0, "overflow": 0, "dlq": 0}
+    for rec in fsutil.read_jsonl(_metrics_path(state_dir)):
+        if rec.get("type") == "stragglers":
+            sinks["dlq"] += rec["rows_total"]
+        elif all(done.get(wv) == rec["batch_id"] for wv in rec["windows"]):
+            for s in sinks:
+                sinks[s] += rec.get(s, 0)
+    rows = [
+        ("epochs", float(len(epoch))),
+        ("rows_in", float(sum(r["rows_in"] for r in epoch))),
+        ("windows_exported", float(len(done))),
+        *[(f"rows_{s}", float(n)) for s, n in sinks.items()],
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
