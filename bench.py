@@ -157,10 +157,95 @@ def run_headline(spark) -> "tuple[dict, dict]":
     times["flagship_bench_scale"] = round(sec, 3)
     extras["bench_turns"] = int(n_input)
     extras["turns_per_sec"] = round(n_input / sec, 1)
+    # the reference's actual shape: streaming rollover export (r3)
+    ssec, srows, srolls = _streaming_rollover(spark, path)
+    times["streaming_rollover_bench"] = round(ssec, 3)
+    extras["streaming_turns_per_sec"] = round(srows / ssec, 1)
+    extras["streaming_mid_rolls"] = int(srolls)
     extras["headline_r1_subset_sec"] = round(
         sum(v for k, v in times.items() if k in r1_subset), 3
     )
     return times, extras
+
+
+def _ensure_stream_files(spark, src_path: str, n_files: int = 8) -> str:
+    """Slice the cached bench transcripts into window-aligned, time-ordered
+    single-file stream inputs (one micro-batch per file). Cached like the
+    transcripts themselves so slicing cost never pollutes the measurement."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    path = f"{CACHE_DIR}_stream_{BENCH_CONVS}"
+    marker = f"{path}/_DONE"
+    if os.path.exists(marker):
+        return path
+    df = spark.read.parquet(src_path)
+    lo, hi = df.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    w = 60
+    cuts = [None] + [
+        (int(lo + (hi - lo) * i / n_files) // w) * w for i in range(1, n_files)
+    ] + [None]
+    sec = F.unix_timestamp("ts")
+    os.makedirs(path, exist_ok=True)
+    for i in range(n_files):
+        part = df
+        if cuts[i] is not None:
+            part = part.filter(sec >= cuts[i])
+        if cuts[i + 1] is not None:
+            part = part.filter(sec < cuts[i + 1])
+        tmp = f"{path}/_tmp"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{path}/{i:03d}.parquet"
+        shutil.move(src, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))  # mod-time order
+    open(marker, "w").close()
+    return path
+
+
+def _streaming_rollover(spark, transcripts_path: str) -> "tuple[float, int, int]":
+    """The reference's actual shape — push-based streaming with rollover
+    export (processor.go:317-347): ingest the bench transcripts as 8
+    time-ordered micro-batches, export windows as they close (per-roll IO
+    bounded by the closing windows), flush the remainder. Returns
+    (seconds, rows, mid-stream rolls)."""
+    import shutil
+    import tempfile
+
+    from trace_aware_reservoir_otel_spark.config import PipelineConfig
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import (
+        _exported_windows,
+        flush_incremental,
+        incremental_conservation,
+        run_incremental_routed,
+    )
+
+    in_dir = _ensure_stream_files(spark, transcripts_path)
+    cfg = PipelineConfig(size_k=64, window_duration_s=60, seed=42, late_tolerance_s=None)
+    scratch = os.path.dirname(CACHE_DIR) or "/tmp"
+    work = tempfile.mkdtemp(prefix="taro_stream_bench_", dir=scratch)
+    try:
+        t0 = time.time()
+        run_incremental_routed(
+            spark, in_dir, cfg, f"{work}/state", f"{work}/ck", f"{work}/out"
+        )
+        flush_incremental(spark, cfg, f"{work}/state", f"{work}/out")
+        sec = time.time() - t0
+        rolled = sum(
+            1 for b in _exported_windows(f"{work}/state").values() if b is not None
+        )
+        rows_in, rows_out = incremental_conservation(
+            spark, f"{work}/state", f"{work}/out"
+        )
+        assert rows_in == rows_out and rolled > 0, (rows_in, rows_out, rolled)
+        return sec, rows_in, rolled
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _cpu_calibration(seconds: float = 0.5) -> float:

@@ -550,9 +550,9 @@ def _route_windows(
             "windows": windows,
             "batch_id": batch_id,
             "rows_total": int(vals["rows_total"]),
-            "sampled_traces": int(vals["sampled_traces"]),
-            "overflow": int(vals["overflow"]),
-            "dlq": int(vals["dlq"]),
+            "sampled_traces": int(vals["sampled_traces"] or 0),
+            "overflow": int(vals["overflow"] or 0),
+            "dlq": int(vals["dlq"] or 0),
         },
         key_fields=("type", "windows"),
     )
