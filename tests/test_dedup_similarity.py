@@ -313,3 +313,30 @@ def test_real_bmp_resize(spark):
     assert (meta[0]["width"], meta[0]["height"]) == (4, 3)
     assert meta[0]["mean_r"] == 99  # solid color survives resampling
     assert meta[1]["format"] == "wav"  # non-image passthrough intact
+
+
+def test_connected_components_and_survivors(spark):
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    # chain 1-2-3-4 (diameter > 1), clique {10,11,12}, pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 12, 20, 21, 99)],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in dedup_survivors(docs, edges).collect()}
+    assert kept == {1, 10, 20, 99}  # cluster minima + the unclustered doc
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)  # chain needs > 1 round

@@ -569,6 +569,75 @@ def oracle_ann_ivf_topk() -> str:
     )
 
 
+# --- duplicate clustering (connected components over LSH pairs) ---------------
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate pairs (min-label propagation, operators/dedup.py). Pairs are
+    not clusters — A~B, B~C must collapse to one group before survivor
+    selection."""
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cc = connected_components(q_lsh_pairs(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+def _walk_cte() -> str:
+    """Recursive reachability over the LSH pair set; min(dst) per id is the
+    component label — the oracle for the iterative Spark propagation."""
+    return (
+        "pairs as (\n"
+        "      select * from (" + oracle_lsh_pairs() + ") t\n"
+        "    ),\n"
+        "    cedges as (\n"
+        "      select doc_a as a, doc_b as b from pairs\n"
+        "      union all\n"
+        "      select doc_b, doc_a from pairs\n"
+        "    ),\n"
+        "    cverts as (select distinct a as id from cedges),\n"
+        "    walk(id, dst) as (\n"
+        "      select id, id from cverts\n"
+        "      union\n"
+        "      select w.id, e.b from walk w join cedges e on e.a = w.dst\n"
+        "    )"
+    )
+
+
+def oracle_dup_clusters() -> str:
+    return (
+        "with recursive " + _walk_cte() + "\n"
+        "    select id as doc_id, cast(min(dst) as bigint) as component\n"
+        "    from walk group by id"
+    )
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: smallest-id member of each near-dup
+    cluster survives; unclustered documents pass through."""
+    from trace_aware_reservoir_otel_spark.operators.dedup import dedup_survivors
+
+    aug = _aug_docs(spark, sf_dir)
+    return dedup_survivors(aug, q_lsh_pairs(spark, sf_dir)).select("doc_id")
+
+
+def oracle_dedup_survivors() -> str:
+    return (
+        "with recursive aug as (\n      " + AUG_DOCS_SQL + "\n    ),\n    "
+        + _walk_cte() + ",\n"
+        "    losers as (\n"
+        "      select id from walk group by id having min(dst) <> id\n"
+        "    )\n"
+        "    select doc_id from aug where doc_id not in (select id from losers)"
+    )
+
+
 DEDUP_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_lsh_pairs,
@@ -580,6 +649,8 @@ DEDUP_QUERIES = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "ivf_assign": q_ivf_assign,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "dup_clusters": q_dup_clusters,
+    "dedup_survivors": q_dedup_survivors,
 }
 
 
@@ -595,4 +666,6 @@ def dedup_oracles() -> "dict[str, str]":
         "simhash_near_pairs": oracle_simhash_near_pairs(),
         "ivf_assign": oracle_ivf_assign(),
         "ann_ivf_topk": oracle_ann_ivf_topk(),
+        "dup_clusters": oracle_dup_clusters(),
+        "dedup_survivors": oracle_dedup_survivors(),
     }

@@ -333,3 +333,90 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("doc_a", "doc_b", "hamming")
+
+
+# --- duplicate clustering (connected components over near-dup pairs) ---------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex of the undirected near-duplicate
+    edge list; component = the smallest member id — the missing step
+    between pairwise near-dup detection and an actual deduplicated corpus
+    (pairs are not clusters: A~B, B~C must collapse to one survivor).
+
+    Algorithm: min-label propagation — each round every vertex takes the
+    minimum label among itself and its neighbors, iterated to fixpoint.
+    Spark-first shape: the per-round work is ONE equi-join of the edge
+    list against the label frame plus a groupBy-min (both id-level
+    relations, never documents), so each round is a bounded unit-level
+    shuffle. Rounds = O(component diameter); near-dup clusters are
+    shallow (pairs / stars / small cliques), so convergence is typically
+    3-5 rounds. For adversarial diameter (long chains) the known
+    accelerator is large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), built from the same
+    two primitives. Lineage is truncated every round (localCheckpoint) so
+    the plan stays constant-size instead of growing by two joins per
+    round; early-exit when a round changes nothing. Deterministic: the
+    min-label fixpoint is unique.
+
+    Raises RuntimeError if max_iter rounds do not reach the fixpoint
+    (returning a half-converged labeling would silently under-merge)."""
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("id").alias("b"), F.col("comp").alias("nc")),
+                on="b",
+            )
+            .groupBy("a")
+            .agg(F.min("nc").alias("nbmin"))
+            .withColumnRenamed("a", "id")
+        )
+        merged = labels.join(nbr_min, on="id", how="left").select(
+            "id",
+            "comp",
+            F.least(F.col("comp"), F.coalesce(F.col("nbmin"), F.col("comp"))).alias(
+                "new_comp"
+            ),
+        )
+        merged = merged.localCheckpoint()
+        changed = merged.filter(F.col("comp") != F.col("new_comp")).count()
+        labels = merged.select("id", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter (component diameter exceeds it)"
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """The deduplicated corpus: drop every document that is in a
+    near-duplicate cluster but is not its smallest-id member. Documents in
+    no pair survive untouched. One broadcast-able anti-join against the
+    (tiny, cluster-members-only) loser set — the corpus itself never
+    shuffles."""
+    cc = connected_components(pairs, src, dst)
+    losers = cc.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), on=id_col, how="left_anti")
