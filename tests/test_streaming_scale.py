@@ -310,3 +310,42 @@ def test_convstart_compaction_preserves_lateness(spark, tmp_path_factory):
     got = _routed_histogram(spark.read.parquet(f"{out}/routed"))
     exp = _routed_histogram(run_pipeline(df, cfg).routed)
     assert got == exp
+
+
+def test_read_exported_gates_on_marks(spark, tmp_path_factory):
+    """The manifest-gated reader returns exactly the marked windows'
+    rows; an unmarked (in-flight / crashed) window's partition is
+    invisible to consumers even if files exist on disk."""
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import read_exported
+
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None
+    )
+    base = str(tmp_path_factory.mktemp("stream_read_exported"))
+    df = generate_transcripts(spark, n_convs=100, seed=7)
+    in_dir = _write_time_sliced(spark, base, cfg, df, n_files=4)
+    state = os.path.join(base, "state")
+    out = os.path.join(base, "out")
+    run_incremental_routed(
+        spark, in_dir, cfg, state, os.path.join(base, "ck"), out
+    )
+    flush_incremental(spark, cfg, state, out)
+    assert read_exported(spark, state, out).count() == df.count()
+
+    # simulate an in-flight window: drop its mark — the reader must
+    # exclude it even though the partition files remain on disk
+    marks = fsutil.read_jsonl(os.path.join(state, "exported.jsonl"))
+    dropped = marks[-1]["window"]
+    fsutil.write_jsonl_atomic(
+        os.path.join(state, "exported.jsonl"),
+        [m for m in marks if m["window"] != dropped],
+    )
+    visible = read_exported(spark, state, out)
+    wp = -1 if dropped is None else int(dropped)
+    assert visible.filter(F.col("window_part") == wp).count() == 0
+    n_dropped = (
+        spark.read.parquet(f"{out}/routed")
+        .filter(F.col("window_part") == wp)
+        .count()
+    )
+    assert visible.count() == df.count() - n_dropped

@@ -1199,6 +1199,76 @@ def _oracle_enrich_from_files() -> str:
     """
 
 
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data scrubbing: deterministic PII (emails / IPv4s / phone
+    runs, varied per doc so zero-match paths are exercised) is planted
+    into the documents' text identically on both sides, then redacted via
+    functions.text.redact_pii (pure JVM regexp chain). The md5 of the
+    redacted text is the strong check — one mis-redacted character flips
+    the hash."""
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.functions.text import pii_counts, redact_pii
+    from trace_aware_reservoir_otel_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" at 10.0."), (did % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" or +1 (415) 555-01"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", planted.alias("t"))
+    return pii_counts(base, "t").select(
+        "doc_id",
+        F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+    )
+
+
+def _oracle_pii_redaction() -> str:
+    from trace_aware_reservoir_otel_spark.functions.text import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    return f"""
+    with planted as (
+      select doc_id,
+             text || ' contact user' || cast(doc_id as varchar) || '@example.com'
+             || case when doc_id % 2 = 0
+                     then ' at 10.0.' || cast(doc_id % 256 as varchar) || '.7'
+                     else '' end
+             || case when doc_id % 3 = 0
+                     then ' or +1 (415) 555-01' || lpad(cast(doc_id % 100 as varchar), 2, '0')
+                     else '' end as t
+      from documents
+    )
+    select doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')) as redacted_md5,
+           cast(len(regexp_extract_all(t, '{EMAIL_RE}')) as bigint) as n_email,
+           cast(len(regexp_extract_all(t, '{IPV4_RE}')) as bigint) as n_ipv4,
+           cast(len(regexp_extract_all(t, '{PHONE_RE}')) as bigint) as n_phone
+    from planted
+    """
+
+
 def _library_queries():
     return {
         "lib_reservoir_events": _q_lib_reservoir_events,
@@ -1211,6 +1281,7 @@ def _library_queries():
         "flagship_via_streaming": _q_flagship_via_streaming,
         "stratified_doc_sample": _q_stratified_doc_sample,
         "enrich_from_files": _q_enrich_from_files,
+        "pii_redaction": _q_pii_redaction,
     }
 
 
@@ -1228,4 +1299,5 @@ def _library_oracles():
         "flagship_via_streaming": _oracle_flagship(),
         "stratified_doc_sample": _oracle_stratified_doc_sample(),
         "enrich_from_files": _oracle_enrich_from_files(),
+        "pii_redaction": _oracle_pii_redaction(),
     }

@@ -83,3 +83,41 @@ def doc_fingerprint(
     return df.select(
         F.col(id_col), F.array_min(hashes).alias("fingerprint")
     )
+
+
+# --- PII redaction (training-data scrubbing) ----------------------------------
+
+# RE2-safe patterns (no backrefs / lookaround), so Spark's Java regex and
+# the DuckDB oracle's RE2 agree match-for-match
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+# replacement order matters: the earlier replacements' tokens contain no
+# digits, so they cannot create or destroy later matches
+PII_RULES = [
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ipv4", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+]
+
+
+def redact_pii(text: "Column | str") -> Column:
+    """Replace emails / IPv4s / phone-shaped runs with typed placeholder
+    tokens — the standard scrub step before corpus text reaches a training
+    set. Pure JVM regexp_replace chain: whole-stage codegen, no UDF."""
+    out = F.col(text) if isinstance(text, str) else text
+    for _, pattern, token in PII_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row counts of each PII kind (pre-redaction) — the audit metric
+    that accompanies a scrub pass."""
+    out = df
+    for kind, pattern, _ in PII_RULES:
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pattern)).cast("long")
+        )
+    return out

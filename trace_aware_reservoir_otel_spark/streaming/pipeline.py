@@ -799,3 +799,26 @@ def streaming_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
         *[(f"rows_{s}", float(n)) for s, n in sinks.items()],
     ]
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+def read_exported(spark: SparkSession, state_dir: str, out_dir: str) -> DataFrame:
+    """Manifest-gated reader for the streaming routed output — the
+    consumer-side half of the commit story (the Iceberg pattern: readers
+    resolve the manifest, never glob the directory). Only window
+    partitions with an export mark are read, so a consumer can never
+    observe a window whose write is still in flight (the mark lands after
+    the write) or was abandoned by a crash. Explicit leaf paths with
+    basePath keep the window_part partition column."""
+    done = _exported_windows(state_dir)
+    base = f"{out_dir}/routed"
+    paths = [
+        p
+        for w in done
+        for p in [f"{base}/window_part={_wp_key(w)}"]
+        if os.path.isdir(p)
+    ]
+    if not paths:
+        raise FileNotFoundError(
+            f"no exported window partitions under {base} (marks: {len(done)})"
+        )
+    return spark.read.option("basePath", base).parquet(*paths)
