@@ -219,7 +219,7 @@ def _streaming_rollover(spark, transcripts_path: str) -> "tuple[float, int, int]
 
     from trace_aware_reservoir_otel_spark.config import PipelineConfig
     from trace_aware_reservoir_otel_spark.streaming.pipeline import (
-        _exported_windows,
+        _exported_buckets,
         flush_incremental,
         incremental_conservation,
         run_incremental_routed,
@@ -237,7 +237,7 @@ def _streaming_rollover(spark, transcripts_path: str) -> "tuple[float, int, int]
         flush_incremental(spark, cfg, f"{work}/state", f"{work}/out")
         sec = time.time() - t0
         rolled = sum(
-            1 for b in _exported_windows(f"{work}/state").values() if b is not None
+            1 for b in _exported_buckets(f"{work}/state").values() if b is not None
         )
         rows_in, rows_out = incremental_conservation(
             spark, f"{work}/state", f"{work}/out"

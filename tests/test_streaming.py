@@ -192,9 +192,9 @@ def test_streaming_routed_equals_batch_rollover(spark, tmp_path_factory):
         spark, in_dir, cfg, state, os.path.join(base, "ck"), out
     )
     # some windows must have been exported mid-stream (true rollover)
-    from trace_aware_reservoir_otel_spark.streaming.pipeline import _exported_windows
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import _exported_buckets
 
-    assert len(_exported_windows(state)) > 0
+    assert len(_exported_buckets(state)) > 0
     flush_incremental(spark, cfg, state, out)
     got = _routed_histogram(
         spark.read.parquet(f"{out}/routed")
@@ -277,7 +277,8 @@ def test_straggler_rows_route_to_late_arrival_dlq(spark, tmp_path_factory):
         spark, in_dir, cfg, state, os.path.join(base, "ck"), out
     )
     from trace_aware_reservoir_otel_spark.streaming.pipeline import (
-        _exported_windows,
+        _bucket_of,
+        _exported_buckets,
         flush_incremental,
         incremental_conservation,
     )
@@ -285,7 +286,7 @@ def test_straggler_rows_route_to_late_arrival_dlq(spark, tmp_path_factory):
     first_w = (
         int(first["ts"].timestamp()) // 60
     ) * 60
-    assert _exported_windows(state).get(first_w) is not None  # window rolled
+    assert _exported_buckets(state).get(_bucket_of(first_w, cfg)) is not None  # bucket rolled
     flush_incremental(spark, cfg, state, out)
     strag = spark.read.parquet(f"{out}/routed_stragglers").collect()
     assert len(strag) == 1
@@ -321,17 +322,17 @@ def test_streaming_restart_with_new_data_equals_batch(spark, tmp_path_factory):
     ck = os.path.join(base, "ck")
     out = os.path.join(base, "out")
     run_incremental_routed(spark, in_dir, cfg, state, ck, out)
-    from trace_aware_reservoir_otel_spark.streaming.pipeline import _exported_windows
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import _exported_buckets
 
-    exported_before = dict(_exported_windows(state))
+    exported_before = dict(_exported_buckets(state))
     assert exported_before  # something rolled in phase 1
 
     # new data lands; restart on the same checkpoint
     _write_stream_file(df.filter(sec >= cut2), in_dir, "002")
     run_incremental_routed(spark, in_dir, cfg, state, ck, out)
-    exported_after = _exported_windows(state)
-    for wdw, bid in exported_before.items():
-        assert exported_after[wdw] == bid  # phase-1 exports untouched
+    exported_after = _exported_buckets(state)
+    for bkt, bid in exported_before.items():
+        assert exported_after[bkt] == bid  # phase-1 exports untouched
     flush_incremental(spark, cfg, state, out)
 
     got = _routed_histogram(spark.read.parquet(f"{out}/routed"))

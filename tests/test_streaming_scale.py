@@ -12,7 +12,8 @@ from trace_aware_reservoir_otel_spark import fsutil
 from trace_aware_reservoir_otel_spark.config import PipelineConfig
 from trace_aware_reservoir_otel_spark.plans.pipeline import run_pipeline
 from trace_aware_reservoir_otel_spark.streaming.pipeline import (
-    _exported_windows,
+    _bucket_of,
+    _exported_buckets,
     _metrics_path,
     _read_epoch,
     flush_incremental,
@@ -53,7 +54,8 @@ def test_roll_io_is_bounded_by_closing_windows(spark, tmp_path_factory):
     independent of how many windows were already exported — and the whole
     stream's exports sum to ONE pass over the input."""
     cfg = PipelineConfig(
-        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None
+        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None,
+        export_bucket_windows=4,
     )
     base = str(tmp_path_factory.mktemp("stream_roll_io"))
     df = generate_transcripts(spark, n_convs=150, seed=7)
@@ -73,12 +75,12 @@ def test_roll_io_is_bounded_by_closing_windows(spark, tmp_path_factory):
     assert len(rolls) >= 3, "expected several mid-stream rolls"
     for rec in recs:
         upto = rec["batch_id"] if rec["batch_id"] is not None else 1 << 62
-        keys = {("-1" if w is None else str(int(w))) for w in rec["windows"]}
+        keys = {str(int(b)) for b in rec["buckets"]}
         expected = sum(
             n
             for e in epoch
             if e["batch_id"] <= upto
-            for k, n in e["window_counts"].items()
+            for k, n in e["bucket_counts"].items()
             if k in keys
         )
         assert rec["rows_total"] == expected, rec
@@ -89,7 +91,8 @@ def test_vacuum_removes_exported_state(spark, tmp_path_factory):
     """Exported windows' spill/pre partitions must be deleted, so state
     volume is O(open windows) on a continuous stream."""
     cfg = PipelineConfig(
-        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None
+        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None,
+        export_bucket_windows=4,
     )
     base = str(tmp_path_factory.mktemp("stream_vacuum"))
     df = generate_transcripts(spark, n_convs=150, seed=7)
@@ -98,18 +101,18 @@ def test_vacuum_removes_exported_state(spark, tmp_path_factory):
     run_incremental_routed(
         spark, in_dir, cfg, state, os.path.join(base, "ck"), os.path.join(base, "out")
     )
-    done = _exported_windows(state)
-    rolled = {w for w, b in done.items() if b is not None}
+    done = _exported_buckets(state)
+    rolled = {b for b, bid in done.items() if bid is not None}
     assert rolled
     leftovers = []
     for sub in ("spill", "pre"):
         root = os.path.join(state, sub)
         for bdir in os.listdir(root):
             for leaf in os.listdir(os.path.join(root, bdir)):
-                if not leaf.startswith("window_part="):
+                if not leaf.startswith("window_bucket="):
                     continue
-                wv = int(leaf.split("=", 1)[1])
-                if wv in rolled:
+                bv = int(leaf.split("=", 1)[1])
+                if bv in rolled:
                     leftovers.append(f"{sub}/{bdir}/{leaf}")
     assert not leftovers, leftovers
 
@@ -122,7 +125,8 @@ def test_crash_before_mark_recovers_idempotently(spark, tmp_path_factory):
     import trace_aware_reservoir_otel_spark.streaming.pipeline as sp
 
     cfg = PipelineConfig(
-        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None
+        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None,
+        export_bucket_windows=4,
     )
     base = str(tmp_path_factory.mktemp("stream_crash_mark"))
     df = generate_transcripts(spark, n_convs=120, seed=9)
@@ -146,7 +150,7 @@ def test_crash_before_mark_recovers_idempotently(spark, tmp_path_factory):
             run_incremental_routed(spark, in_dir, cfg, state, ck, out)
     finally:
         sp._mark_exported = real_mark
-    assert _exported_windows(state) == {}  # crash preceded every mark
+    assert _exported_buckets(state) == {}  # crash preceded every mark
 
     # restart on the same checkpoint: the uncommitted batch replays
     run_incremental_routed(spark, in_dir, cfg, state, ck, out)
@@ -184,7 +188,7 @@ def test_lateness_rolls_mid_stream_equals_batch(spark, tmp_path_factory):
     run_incremental_routed(
         spark, in_dir, cfg, state, os.path.join(base, "ck"), out
     )
-    rolled = {w for w, b in _exported_windows(state).items() if b is not None}
+    rolled = {b for b, bid in _exported_buckets(state).items() if bid is not None}
     assert rolled, "expected mid-stream rolls with lateness on"
     flush_incremental(spark, cfg, state, out)
     got = _routed_histogram(spark.read.parquet(f"{out}/routed"))
@@ -234,8 +238,8 @@ def test_span_violation_routes_to_dlq(spark, tmp_path_factory):
     run_incremental_routed(
         spark, in_dir, cfg, state, os.path.join(base, "ck"), out
     )
-    rolled = {w for w, b in _exported_windows(state).items() if b is not None}
-    assert rolled, "violator windows must roll mid-stream"
+    rolled = {b for b, bid in _exported_buckets(state).items() if bid is not None}
+    assert rolled, "violator buckets must roll mid-stream"
     flush_incremental(spark, cfg, state, out)
     routed = spark.read.parquet(f"{out}/routed")
     by_conv = {
@@ -319,7 +323,8 @@ def test_read_exported_gates_on_marks(spark, tmp_path_factory):
     from trace_aware_reservoir_otel_spark.streaming.pipeline import read_exported
 
     cfg = PipelineConfig(
-        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None
+        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None,
+        export_bucket_windows=4,
     )
     base = str(tmp_path_factory.mktemp("stream_read_exported"))
     df = generate_transcripts(spark, n_convs=100, seed=7)
@@ -335,17 +340,16 @@ def test_read_exported_gates_on_marks(spark, tmp_path_factory):
     # simulate an in-flight window: drop its mark — the reader must
     # exclude it even though the partition files remain on disk
     marks = fsutil.read_jsonl(os.path.join(state, "exported.jsonl"))
-    dropped = marks[-1]["window"]
+    dropped = marks[-1]["bucket"]
     fsutil.write_jsonl_atomic(
         os.path.join(state, "exported.jsonl"),
-        [m for m in marks if m["window"] != dropped],
+        [m for m in marks if m["bucket"] != dropped],
     )
     visible = read_exported(spark, state, out)
-    wp = -1 if dropped is None else int(dropped)
-    assert visible.filter(F.col("window_part") == wp).count() == 0
+    assert visible.filter(F.col("window_bucket") == int(dropped)).count() == 0
     n_dropped = (
         spark.read.parquet(f"{out}/routed")
-        .filter(F.col("window_part") == wp)
+        .filter(F.col("window_bucket") == int(dropped))
         .count()
     )
     assert visible.count() == df.count() - n_dropped

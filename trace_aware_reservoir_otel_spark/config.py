@@ -72,6 +72,15 @@ class PipelineConfig:
                         to dlq(reason='span_violation') explicitly. None
                         (default) = no bound: with lateness on, export
                         defers to flush.
+    export_bucket_windows : streaming export granularity — consecutive
+                        windows are grouped into buckets of this many for
+                        state partitioning, rollover export, and output
+                        layout. Bounds file counts when windows are
+                        numerous and tiny (a mega-conversation's long tail
+                        of sparse windows would otherwise mean one
+                        directory per window per micro-batch); the cost is
+                        export latency of up to bucket_span (windows
+                        export when their whole bucket's horizon passes).
     seed              : sampling seed; priorities are pure functions of
                         (seed, conv_id) so runs are bit-reproducible
                         (unlike reservoir.go:52-54 time-seeded RNG).
@@ -90,6 +99,7 @@ class PipelineConfig:
     buffer_max_convs: "int | None" = None
     late_tolerance_s: float = 3600.0
     max_conv_span_s: "float | None" = None
+    export_bucket_windows: int = 32
     seed: int = 42
     salt_buckets: int = 16
     weight_col: "str | None" = None
@@ -119,6 +129,8 @@ class PipelineConfig:
             raise ValueError("late_tolerance_s must be >= 0 or None (disabled)")
         if self.max_conv_span_s is not None and self.max_conv_span_s <= 0:
             raise ValueError("max_conv_span_s must be positive or None (no bound)")
+        if self.export_bucket_windows <= 0:
+            raise ValueError("export_bucket_windows must be positive")
 
     @classmethod
     def from_dict(cls, d: dict) -> "PipelineConfig":

@@ -168,10 +168,10 @@ def _write_pre(batch_df: DataFrame, batch_id: int, cfg: PipelineConfig, state_di
     """One micro-batch's unit partials, written idempotently: the path is
     keyed by batch_id and overwritten, so an at-least-once foreachBatch
     replay rewrites identical content instead of double-appending. Within
-    the batch directory, partials are sub-partitioned by `window_part`, so
-    rollover reads exactly the closing windows' leaf directories and
-    vacuum deletes an exported window's state with a directory remove —
-    per-roll IO is O(closing windows), not O(total state history)."""
+    the batch directory, partials are sub-partitioned by export bucket, so
+    rollover reads exactly the closing buckets' leaf directories and
+    vacuum deletes an exported bucket's state with a directory remove —
+    per-roll IO is O(closing buckets), not O(total state history)."""
     from trace_aware_reservoir_otel_spark.operators.windows import with_tumbling_window
     from trace_aware_reservoir_otel_spark.plans.pipeline import _unit_pre_aggregate
 
@@ -181,11 +181,9 @@ def _write_pre(batch_df: DataFrame, batch_id: int, cfg: PipelineConfig, state_di
     pre = _unit_pre_aggregate(
         with_tumbling_window(valid, "ts", cfg.window_duration_s), cfg
     )
-    pre.withColumn(
-        "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
-    ).write.mode("overwrite").partitionBy("window_part").parquet(
-        f"{state_dir}/pre/batch_id={batch_id}"
-    )
+    pre.withColumn("window_bucket", _bucket_expr(cfg)).write.mode(
+        "overwrite"
+    ).partitionBy("window_bucket").parquet(f"{state_dir}/pre/batch_id={batch_id}")
 
 
 def run_incremental(
@@ -224,7 +222,7 @@ def merged_units(spark: SparkSession, state_dir: str, cfg: PipelineConfig) -> Da
         _with_unit_priorities,
     )
 
-    pre = spark.read.parquet(f"{state_dir}/pre").drop("batch_id", "window_part")
+    pre = spark.read.parquet(f"{state_dir}/pre").drop("batch_id", "window_bucket")
     merged = _merge_pre(pre, cfg).withColumnRenamed("n_all", "n_turns")
     weighted = cfg.weight_col is not None
     keep = ["window_start_s", "conv_id", "n_turns", "min_ts_s", "max_ts_s",
@@ -247,32 +245,48 @@ def incremental_winners(
 # --- streaming routed fan-out (rollover export) ------------------------------
 
 
-def _wp_key(w) -> str:
-    """window value -> window_part directory key (-1 holds null-ts rows)."""
-    return "-1" if w is None else str(int(w))
+def _bucket_span_s(cfg: PipelineConfig) -> int:
+    return int(cfg.window_duration_s * cfg.export_bucket_windows)
 
 
-def _wp_val(key: str):
-    return None if key == "-1" else int(key)
+def _bucket_expr(cfg: PipelineConfig):
+    """window_start_s -> export-bucket id column (-1 holds null-ts rows).
+
+    Buckets group `export_bucket_windows` consecutive windows: the unit of
+    state partitioning, rollover export, vacuum, and output layout. This
+    bounds file counts when windows are numerous and tiny — a mega-
+    conversation's sparse multi-day tail would otherwise create one
+    directory per window per micro-batch (measured: 10^4 windows at bench
+    scale turned per-window layout into a small-files collapse)."""
+    span = _bucket_span_s(cfg)
+    ws = F.col("window_start_s")
+    return F.when(ws.isNull(), F.lit(-1)).otherwise(
+        F.floor(ws / F.lit(span)).cast("long")
+    )
 
 
-def _exported_windows(state_dir: str) -> "dict":
-    """window -> batch_id at whose roll it was exported (None = flush).
-    Keep-LAST per window: a re-export after a lost mark supersedes."""
+def _bucket_of(w, cfg: PipelineConfig):
+    """Python-side bucket id of a window value (None -> -1)."""
+    return -1 if w is None else int(w) // _bucket_span_s(cfg)
+
+
+def _exported_buckets(state_dir: str) -> "dict":
+    """bucket -> batch_id at whose roll it was exported (None = flush).
+    Keep-LAST per bucket: a re-export after a lost mark supersedes."""
     out: "dict" = {}
     for rec in fsutil.read_jsonl(os.path.join(state_dir, "exported.jsonl")):
-        out[rec["window"]] = rec.get("batch_id")
+        out[rec["bucket"]] = rec.get("batch_id")
     return out
 
 
-def _mark_exported(state_dir: str, windows: "list", batch_id: "int | None") -> None:
+def _mark_exported(state_dir: str, buckets: "list", batch_id: "int | None") -> None:
     # atomic replace (fsutil): a crash between the sink write and this mark
     # leaves the previous manifest complete, so restart re-routes the same
-    # windows onto the same per-window partitions — idempotent overwrite,
-    # never a torn manifest line
+    # buckets onto the same partitions — idempotent overwrite, never a
+    # torn manifest line
     fsutil.append_jsonl_atomic(
         os.path.join(state_dir, "exported.jsonl"),
-        [{"window": w, "batch_id": batch_id} for w in windows],
+        [{"bucket": b, "batch_id": batch_id} for b in buckets],
     )
 
 
@@ -284,7 +298,7 @@ def _read_epoch(state_dir: str) -> "list[dict]":
     """Per-micro-batch bookkeeping records, deduped keep-last by batch_id
     (a replayed batch upserts identical content). O(batches) tiny records
     on the driver — the compact index that lets rollover decide which
-    windows close WITHOUT any Spark job over the state tables."""
+    buckets close WITHOUT any Spark job over the state tables."""
     by_batch: "dict" = {}
     for rec in fsutil.read_jsonl(_epoch_path(state_dir)):
         by_batch[rec["batch_id"]] = rec
@@ -295,23 +309,24 @@ def _metrics_path(state_dir: str) -> str:
     return os.path.join(state_dir, "metrics.jsonl")
 
 
-def _read_state_windows(
+def _read_state_buckets(
     spark: SparkSession,
     state_dir: str,
     sub: str,
-    windows: "list",
+    buckets: "list",
     epoch: "list[dict]",
 ) -> "DataFrame | None":
-    """Read ONLY the given windows' state partitions, as an explicit list
-    of leaf directories (batch_id=N/window_part=W) derived from the epoch
-    index — reading a non-closing window's data is structurally
-    impossible, not merely optimizer-pruned. basePath keeps the partition
-    columns. Returns None when nothing exists (e.g. already vacuumed)."""
-    keys = {_wp_key(w) for w in windows}
+    """Read ONLY the given export buckets' state partitions, as an
+    explicit list of leaf directories (batch_id=N/window_bucket=B) derived
+    from the epoch index — reading a non-closing bucket's data is
+    structurally impossible, not merely optimizer-pruned. basePath keeps
+    the partition columns. Returns None when nothing exists (e.g. already
+    vacuumed)."""
+    keys = {str(int(b)) for b in buckets}
     paths = []
     for rec in epoch:
-        for key in keys & set(rec.get("window_counts", {})):
-            p = f"{state_dir}/{sub}/batch_id={rec['batch_id']}/window_part={key}"
+        for key in keys & set(rec.get("bucket_counts", {})):
+            p = f"{state_dir}/{sub}/batch_id={rec['batch_id']}/window_bucket={key}"
             if os.path.isdir(p):
                 paths.append(p)
     if not paths:
@@ -322,9 +337,9 @@ def _read_state_windows(
 def _write_convstart(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
     """Per-batch conversation-start partials — the compact conv-level
     index (O(conversations), ~10^3x smaller than the fact) that lets a
-    window-restricted rollover classify lateness against GLOBAL root-turn
+    bucket-restricted rollover classify lateness against GLOBAL root-turn
     timestamps. min/max merges are idempotent, so batch replay and
-    (future) compaction cannot double-count."""
+    compaction cannot double-count."""
     valid = batch_df.filter(
         F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
     )
@@ -415,15 +430,15 @@ def _prepared_batch(batch_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
-def _vacuum_exported(state_dir: str, windows: "list") -> None:
-    """Delete exported windows' spill/pre leaf directories. Runs AFTER the
+def _vacuum_exported(state_dir: str, buckets: "list") -> None:
+    """Delete exported buckets' spill/pre leaf directories. Runs AFTER the
     mark, so a crash in between leaves inert extra state (filtered out by
     the done-set on every later roll), never missing state. Spill written
     by LATER batches (stragglers) lands in new leaf dirs and survives
     until flush routes it to dlq."""
     import shutil
 
-    keys = {_wp_key(w) for w in windows}
+    keys = {str(int(b)) for b in buckets}
     for sub in ("spill", "pre"):
         root = os.path.join(state_dir, sub)
         if not os.path.isdir(root):
@@ -432,31 +447,35 @@ def _vacuum_exported(state_dir: str, windows: "list") -> None:
             if not bdir.startswith("batch_id="):
                 continue
             for key in keys:
-                leaf = os.path.join(root, bdir, f"window_part={key}")
+                leaf = os.path.join(root, bdir, f"window_bucket={key}")
                 if os.path.isdir(leaf):
                     shutil.rmtree(leaf)
 
 
-def _route_windows(
+def _route_buckets(
     spark: SparkSession,
     cfg: PipelineConfig,
     state_dir: str,
     out_dir: str,
-    windows: "list",
+    buckets: "list",
     batch_id: "int | None",
 ) -> None:
-    """Route the given (closed) windows' spilled rows using state read
-    from ONLY those windows' partitions, and write them with per-window
-    dynamic partition overwrite — replay-idempotent. Shares apply_routing
-    / winner derivation with the batch plan, so the paths cannot drift.
+    """Route the given (closed) export buckets' spilled rows using state
+    read from ONLY those buckets' partitions, and write them with
+    per-bucket dynamic partition overwrite — replay-idempotent. Shares
+    apply_routing / winner derivation (still per WINDOW — buckets are a
+    layout unit, not a semantic one) with the batch plan, so the paths
+    cannot drift.
 
-    Scale shape: per roll this reads the closing windows' spill + unit
+    Scale shape: per roll this reads the closing buckets' spill + unit
     partials (explicit leaf paths) plus, when lateness is on, the compact
     conv-start index — never the full state history. Summed over a
     stream's life the spill reads are exactly ONE pass over the input.
     Commit order: routed write -> metrics record (Observation counts) ->
     exported marks -> vacuum; a crash between any two steps re-routes the
-    same windows idempotently on restart."""
+    same buckets idempotently on restart."""
+    from pyspark.sql import Observation
+
     from trace_aware_reservoir_otel_spark.plans.pipeline import (
         _merge_pre,
         _units_from_pre,
@@ -464,20 +483,20 @@ def _route_windows(
         capacity_and_winners,
     )
 
-    if not windows:
+    if not buckets:
         return
     epoch = _read_epoch(state_dir)
-    spill = _read_state_windows(spark, state_dir, "spill", windows, epoch)
+    spill = _read_state_buckets(spark, state_dir, "spill", buckets, epoch)
     if spill is None:
-        _mark_exported(state_dir, windows, batch_id)
+        _mark_exported(state_dir, buckets, batch_id)
         return
-    rows = spill.drop("batch_id", "window_part")
-    pre_df = _read_state_windows(spark, state_dir, "pre", windows, epoch)
+    rows = spill.drop("batch_id", "window_bucket")
+    pre_df = _read_state_buckets(spark, state_dir, "pre", buckets, epoch)
     invalid = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
     persisted: "list[DataFrame]" = []
     starts = None
     if pre_df is not None:
-        merged = _merge_pre(pre_df.drop("batch_id", "window_part"), cfg)
+        merged = _merge_pre(pre_df.drop("batch_id", "window_bucket"), cfg)
         if cfg.late_tolerance_s is not None:
             starts = merged_conv_starts(spark, state_dir)
         units, late_units = _units_from_pre(
@@ -519,8 +538,6 @@ def _route_windows(
             .drop("_span_viol")
         )
 
-    from pyspark.sql import Observation
-
     obs = Observation(f"roll_{batch_id}")
     observed = routed.observe(
         obs,
@@ -533,11 +550,9 @@ def _route_windows(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        observed.withColumn(
-            "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
-        ).write.mode("overwrite").partitionBy("window_part").parquet(
-            f"{out_dir}/routed"
-        )
+        observed.withColumn("window_bucket", _bucket_expr(cfg)).write.mode(
+            "overwrite"
+        ).partitionBy("window_bucket").parquet(f"{out_dir}/routed")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     for df in persisted:
@@ -547,17 +562,17 @@ def _route_windows(
         _metrics_path(state_dir),
         {
             "type": "export",
-            "windows": windows,
+            "buckets": buckets,
             "batch_id": batch_id,
             "rows_total": int(vals["rows_total"]),
             "sampled_traces": int(vals["sampled_traces"] or 0),
             "overflow": int(vals["overflow"] or 0),
             "dlq": int(vals["dlq"] or 0),
         },
-        key_fields=("type", "windows"),
+        key_fields=("type", "buckets"),
     )
-    _mark_exported(state_dir, windows, batch_id)
-    _vacuum_exported(state_dir, windows)
+    _mark_exported(state_dir, buckets, batch_id)
+    _vacuum_exported(state_dir, buckets)
 
 
 def _roll(
@@ -568,16 +583,15 @@ def _roll(
     batch_id: int,
     watermark_s: float,
 ) -> None:
-    """Close and export every window whose end passed the event-time high
-    watermark minus the required slack. Decisions come from the epoch
-    manifest alone — zero Spark jobs, zero state-table reads, regardless
-    of how many windows were already exported (the round-2 shape re-read
-    ALL spill+pre per roll).
+    """Close and export every bucket whose last window's end passed the
+    event-time high watermark minus the required slack. Decisions come
+    from the epoch manifest alone — zero Spark jobs, zero state-table
+    reads, regardless of how many buckets were already exported.
 
     Slack: `watermark_s` (disorder tolerance) plus, when lateness is on,
     late_tolerance_s + max_conv_span_s — past that horizon no compliant
     conversation's root-turn ts can still change (a future row would have
-    to sit > max_conv_span from a turn already seen in the window, i.e.
+    to sit > max_conv_span from a turn already seen in the bucket, i.e.
     be a span violator), so late classification is final at export."""
     epoch = _read_epoch(state_dir)
     if not epoch:
@@ -592,18 +606,18 @@ def _roll(
     if cfg.late_tolerance_s is not None:
         slack += float(cfg.late_tolerance_s) + float(cfg.max_conv_span_s)
     horizon = float(hwm) - slack
-    w = float(cfg.window_duration_s)
-    done = _exported_windows(state_dir)
+    span = _bucket_span_s(cfg)
+    done = _exported_buckets(state_dir)
     seen = {
-        _wp_val(k)
+        int(k)
         for rec in epoch
-        for k in rec.get("window_counts", {})
+        for k in rec.get("bucket_counts", {})
         if k != "-1"
     }
     closed = sorted(
-        wv for wv in seen if wv + w <= horizon and wv not in done
+        b for b in seen if (b + 1) * span <= horizon and b not in done
     )
-    _route_windows(spark, cfg, state_dir, out_dir, closed, batch_id)
+    _route_buckets(spark, cfg, state_dir, out_dir, closed, batch_id)
 
 
 def run_incremental_routed(
@@ -620,14 +634,15 @@ def run_incremental_routed(
     """Streaming fan-out with rollover export (processor.go:317-347).
 
     Per micro-batch: unit partials + parsed/enriched/windowed rows spill
-    to batch_id-keyed, WINDOW-SUB-PARTITIONED paths (overwrite —
-    replay-idempotent); per-window row counts + the event-time high
-    watermark go to the epoch manifest (one tiny record per batch).
-    Windows past the rollover horizon are routed reading only their own
-    partitions and their spill/pre is vacuumed after the export mark —
-    state volume is O(open windows), per-roll IO is O(closing windows),
-    and the stream's total spill reads are ONE pass over the input
-    however long it runs.
+    to batch_id-keyed paths sub-partitioned by EXPORT BUCKET (groups of
+    `cfg.export_bucket_windows` consecutive windows — bounds file counts
+    against sparse-window long tails); per-bucket row counts + the
+    event-time high watermark go to the epoch manifest (one tiny record
+    per batch). Buckets past the rollover horizon are routed reading only
+    their own partitions and their spill/pre is vacuumed after the export
+    mark — state volume is O(open buckets), per-roll IO is O(closing
+    buckets), and the stream's total spill reads are ONE pass over the
+    input however long it runs.
 
     Lateness: with late_tolerance_s set and max_conv_span_s declared,
     rollover still fires mid-stream (horizon extended by
@@ -638,13 +653,22 @@ def run_incremental_routed(
     output, one pass later."""
     stream = stream_transcripts(spark, input_dir, max_files_per_trigger)
     rolling = cfg.late_tolerance_s is None or cfg.max_conv_span_s is not None
+    span = _bucket_span_s(cfg)
+    saved = next(iter(_read_epoch(state_dir)), None)
+    if saved is not None and saved.get("bucket_span_s") != span:
+        raise ValueError(
+            f"state at {state_dir} uses bucket_span_s="
+            f"{saved.get('bucket_span_s')}; resume with the same "
+            f"window_duration_s * export_bucket_windows (got {span}) or use "
+            "a fresh state_dir"
+        )
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         _write_pre(batch_df, batch_id, cfg, state_dir)
         prepared = _prepared_batch(batch_df, cfg)
-        prepared.withColumn(
-            "window_part", F.coalesce(F.col("window_start_s"), F.lit(-1))
-        ).write.mode("overwrite").partitionBy("window_part").parquet(
+        prepared.withColumn("window_bucket", _bucket_expr(cfg)).write.mode(
+            "overwrite"
+        ).partitionBy("window_bucket").parquet(
             f"{state_dir}/spill/batch_id={batch_id}"
         )
         if cfg.late_tolerance_s is not None:
@@ -655,13 +679,13 @@ def run_incremental_routed(
             )
             if n_partials > convstart_compact_threshold:
                 compact_conv_starts(spark, state_dir)
-        # per-window stats from the just-written spill (batch-sized, page-
+        # per-bucket stats from the just-written spill (batch-sized, page-
         # cache-warm) — replaces the round-2 full re-count of the batch
         # source and feeds the epoch index that makes rolls manifest-only
         try:
             stats = (
                 spark.read.parquet(f"{state_dir}/spill/batch_id={batch_id}")
-                .groupBy("window_part")
+                .groupBy("window_bucket")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     F.max(F.unix_timestamp("ts")).alias("mx"),
@@ -671,7 +695,7 @@ def run_incremental_routed(
         except AnalysisException:
             # an empty micro-batch's partitioned write emits no data files
             stats = []
-        counts = {str(int(r["window_part"])): int(r["n"]) for r in stats}
+        counts = {str(int(r["window_bucket"])): int(r["n"]) for r in stats}
         mx = max((r["mx"] for r in stats if r["mx"] is not None), default=None)
         fsutil.upsert_jsonl_atomic(
             _epoch_path(state_dir),
@@ -679,7 +703,8 @@ def run_incremental_routed(
                 "batch_id": int(batch_id),
                 "rows_in": int(sum(counts.values())),
                 "max_ts_s": int(mx) if mx is not None else None,
-                "window_counts": counts,
+                "bucket_span_s": span,
+                "bucket_counts": counts,
             },
             key_fields=("batch_id",),
         )
@@ -698,44 +723,41 @@ def run_incremental_routed(
 def flush_incremental(
     spark: SparkSession, cfg: PipelineConfig, state_dir: str, out_dir: str
 ) -> None:
-    """Route every window not yet exported (open windows at stream end,
-    plus the null-window rows of invalid-ts input).
+    """Route every export bucket not yet exported (open buckets at stream
+    end, plus the null-window rows of invalid-ts input).
 
-    Stragglers — rows that arrived AFTER their window was already exported
+    Stragglers — rows that arrived AFTER their bucket was already exported
     (watermark-contract violators) — cannot be merged into the closed
-    window's output without re-exporting it (the reference silently rolls
+    bucket's output without re-exporting it (the reference silently rolls
     them into the next window, window.go:75-105 — its documented quirk).
     They route explicitly to dlq(reason='late_arrival') under
     `routed_stragglers` (overwritten wholesale at flush, so a repeated
     flush stays idempotent), their count is recorded from the write's
     Observation, and they balance `incremental_conservation`."""
-    epoch = _read_epoch(state_dir)
-    done = _exported_windows(state_dir)
-    seen = {
-        _wp_val(k) for rec in epoch for k in rec.get("window_counts", {})
-    }
-    remaining = sorted(
-        (wv for wv in seen if wv not in done),
-        key=lambda v: (v is None, v),
-    )
-    _route_windows(spark, cfg, state_dir, out_dir, remaining, None)
+    from pyspark.sql import Observation
 
-    # stragglers: exported windows' spill leaf dirs written by batches
+    epoch = _read_epoch(state_dir)
+    done = _exported_buckets(state_dir)
+    seen = {
+        int(k) for rec in epoch for k in rec.get("bucket_counts", {})
+    }
+    remaining = sorted(b for b in seen if b not in done)
+    _route_buckets(spark, cfg, state_dir, out_dir, remaining, None)
+
+    # stragglers: exported buckets' spill leaf dirs written by batches
     # AFTER the export (vacuum at export time removed everything earlier)
     strag_paths = []
-    for wv, b in done.items():
-        if wv is None or b is None:
+    for bv, bid in done.items():
+        if bid is None:
             continue
-        key = _wp_key(wv)
+        key = str(int(bv))
         for rec in epoch:
-            if rec["batch_id"] > b and key in rec.get("window_counts", {}):
-                p = f"{state_dir}/spill/batch_id={rec['batch_id']}/window_part={key}"
+            if rec["batch_id"] > bid and key in rec.get("bucket_counts", {}):
+                p = f"{state_dir}/spill/batch_id={rec['batch_id']}/window_bucket={key}"
                 if os.path.isdir(p):
                     strag_paths.append(p)
     if not strag_paths:
         return
-    from pyspark.sql import Observation
-
     stragglers = spark.read.option("basePath", f"{state_dir}/spill").parquet(
         *strag_paths
     )
@@ -763,39 +785,39 @@ def incremental_conservation(
     manifest; rows_routed sums the per-export metrics records, whose
     counts came from Observations attached to the routed writes — actual
     output-side evidence with ZERO re-reads of written parquet. A metrics
-    record counts only while its windows' current export marks still
+    record counts only while its buckets' current export marks still
     point at it (a re-export after a lost mark supersedes the stale
     record)."""
     epoch = _read_epoch(state_dir)
     rows_in = sum(r["rows_in"] for r in epoch)
-    done = _exported_windows(state_dir)
+    done = _exported_buckets(state_dir)
     rows_out = 0
     for rec in fsutil.read_jsonl(_metrics_path(state_dir)):
         if rec.get("type") == "stragglers":
             rows_out += rec["rows_total"]
             continue
-        if all(done.get(wv) == rec["batch_id"] for wv in rec["windows"]):
+        if all(done.get(b) == rec["batch_id"] for b in rec["buckets"]):
             rows_out += rec["rows_total"]
     return rows_in, rows_out
 
 
 def streaming_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
     """Streaming-side gauges (S5 parity with plans/state.state_metrics):
-    per-sink routed totals, epochs processed, windows exported — all from
+    per-sink routed totals, epochs processed, buckets exported — all from
     the manifests' Observation-backed records, no state re-reads."""
     epoch = _read_epoch(state_dir)
-    done = _exported_windows(state_dir)
+    done = _exported_buckets(state_dir)
     sinks = {"sampled_traces": 0, "overflow": 0, "dlq": 0}
     for rec in fsutil.read_jsonl(_metrics_path(state_dir)):
         if rec.get("type") == "stragglers":
             sinks["dlq"] += rec["rows_total"]
-        elif all(done.get(wv) == rec["batch_id"] for wv in rec["windows"]):
+        elif all(done.get(b) == rec["batch_id"] for b in rec["buckets"]):
             for s in sinks:
                 sinks[s] += rec.get(s, 0)
     rows = [
         ("epochs", float(len(epoch))),
         ("rows_in", float(sum(r["rows_in"] for r in epoch))),
-        ("windows_exported", float(len(done))),
+        ("buckets_exported", float(len(done))),
         *[(f"rows_{s}", float(n)) for s, n in sinks.items()],
     ]
     return spark.createDataFrame(rows, "metric string, value double")
@@ -804,21 +826,21 @@ def streaming_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
 def read_exported(spark: SparkSession, state_dir: str, out_dir: str) -> DataFrame:
     """Manifest-gated reader for the streaming routed output — the
     consumer-side half of the commit story (the Iceberg pattern: readers
-    resolve the manifest, never glob the directory). Only window
+    resolve the manifest, never glob the directory). Only bucket
     partitions with an export mark are read, so a consumer can never
-    observe a window whose write is still in flight (the mark lands after
+    observe a bucket whose write is still in flight (the mark lands after
     the write) or was abandoned by a crash. Explicit leaf paths with
-    basePath keep the window_part partition column."""
-    done = _exported_windows(state_dir)
+    basePath keep the window_bucket partition column."""
+    done = _exported_buckets(state_dir)
     base = f"{out_dir}/routed"
     paths = [
         p
-        for w in done
-        for p in [f"{base}/window_part={_wp_key(w)}"]
+        for b in done
+        for p in [f"{base}/window_bucket={int(b)}"]
         if os.path.isdir(p)
     ]
     if not paths:
         raise FileNotFoundError(
-            f"no exported window partitions under {base} (marks: {len(done)})"
+            f"no exported bucket partitions under {base} (marks: {len(done)})"
         )
     return spark.read.option("basePath", base).parquet(*paths)
