@@ -664,36 +664,52 @@ def run_incremental_routed(
         )
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _write_pre(batch_df, batch_id, cfg, state_dir)
+        # ONE parse/enrich pass over the batch input: everything else in
+        # this function (unit partials, conv-start partials, epoch stats)
+        # derives from the just-written spill — batch-sized, page-cache-
+        # warm re-reads instead of re-running the parse chain per artifact
         prepared = _prepared_batch(batch_df, cfg)
         prepared.withColumn("window_bucket", _bucket_expr(cfg)).write.mode(
             "overwrite"
         ).partitionBy("window_bucket").parquet(
             f"{state_dir}/spill/batch_id={batch_id}"
         )
-        if cfg.late_tolerance_s is not None:
-            _write_convstart(batch_df, batch_id, state_dir)
-            root = f"{state_dir}/convstart"
-            n_partials = sum(
-                1 for d in os.listdir(root) if d.startswith("batch_id=")
-            )
-            if n_partials > convstart_compact_threshold:
-                compact_conv_starts(spark, state_dir)
-        # per-bucket stats from the just-written spill (batch-sized, page-
-        # cache-warm) — replaces the round-2 full re-count of the batch
-        # source and feeds the epoch index that makes rolls manifest-only
+        from trace_aware_reservoir_otel_spark.plans.pipeline import (
+            _unit_pre_aggregate,
+        )
+
         try:
+            spill_df = spark.read.parquet(f"{state_dir}/spill/batch_id={batch_id}")
+        except AnalysisException:
+            # an empty micro-batch's partitioned write emits no data files
+            spill_df = None
+        if spill_df is not None:
+            valid = spill_df.filter(
+                F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+            )
+            pre = _unit_pre_aggregate(valid, cfg)
+            pre.withColumn("window_bucket", _bucket_expr(cfg)).write.mode(
+                "overwrite"
+            ).partitionBy("window_bucket").parquet(
+                f"{state_dir}/pre/batch_id={batch_id}"
+            )
+            if cfg.late_tolerance_s is not None:
+                _write_convstart(valid, batch_id, state_dir)
+                root = f"{state_dir}/convstart"
+                n_partials = sum(
+                    1 for d in os.listdir(root) if d.startswith("batch_id=")
+                )
+                if n_partials > convstart_compact_threshold:
+                    compact_conv_starts(spark, state_dir)
             stats = (
-                spark.read.parquet(f"{state_dir}/spill/batch_id={batch_id}")
-                .groupBy("window_bucket")
+                spill_df.groupBy("window_bucket")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
                     F.max(F.unix_timestamp("ts")).alias("mx"),
                 )
                 .collect()
             )
-        except AnalysisException:
-            # an empty micro-batch's partitioned write emits no data files
+        else:
             stats = []
         counts = {str(int(r["window_bucket"])): int(r["n"]) for r in stats}
         mx = max((r["mx"] for r in stats if r["mx"] is not None), default=None)
