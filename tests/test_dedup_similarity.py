@@ -340,3 +340,33 @@ def test_connected_components_and_survivors(spark):
 
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(edges, max_iter=1)  # chain needs > 1 round
+
+
+def test_connected_components_edge_plan_executes_once(spark):
+    """The (potentially expensive) upstream edge plan must be materialized
+    once, not re-executed per propagation round: a chain graph forces
+    multiple rounds, and an accumulator tap on the edge frame counts how
+    many times its rows actually flow."""
+    import pandas as pd
+
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-...-8: diameter 7 -> several propagation rounds
+    raw = [(i, i + 1) for i in range(1, 8)]
+    edges = spark.createDataFrame(raw, "doc_a long, doc_b long")
+    acc = spark.sparkContext.accumulator(0)
+
+    def tap(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    tapped = edges.mapInPandas(tap, edges.schema)
+    comp = {r["id"]: r["comp"] for r in connected_components(tapped).collect()}
+    assert comp == {i: 1 for i in range(1, 9)}
+    # sym unions the edge frame twice, so one materialization reads each
+    # edge row exactly twice; per-round re-execution would multiply this
+    # by the number of rounds (>= 3 here)
+    assert acc.value == 2 * len(raw), acc.value

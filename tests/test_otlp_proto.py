@@ -46,11 +46,11 @@ def _mk_spans(n, trace="ab" * 16):
 
 def test_export_request_round_trip():
     spans = _mk_spans(4)
-    payload = encode_export_request(spans, service_name="claude", scope_name="sdk")
+    payload = encode_export_request(spans, service_name="telemetry-gw", scope_name="sdk")
     rows = decode_export_request(payload)
     assert len(rows) == 4
     for exp, got in zip(spans, rows):
-        assert got["service_name"] == "claude"
+        assert got["service_name"] == "telemetry-gw"
         assert got["scope_name"] == "sdk"
         for k in ("trace_id_hex", "span_id_hex", "parent_span_id_hex", "name",
                   "kind", "start_unix_nano", "end_unix_nano", "attrs"):

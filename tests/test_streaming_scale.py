@@ -353,3 +353,46 @@ def test_read_exported_gates_on_marks(spark, tmp_path_factory):
         .count()
     )
     assert visible.count() == df.count() - n_dropped
+
+
+def test_revacuum_cleans_replayed_exported_leafs(tmp_path_factory):
+    """A replayed micro-batch rewrites spill/pre leafs for a bucket that
+    was already exported+vacuumed (batch_id == the bucket's export mark);
+    the straggler scan ignores batch_id <= mark, so _roll must re-vacuum
+    them — otherwise state leaks forever. Leafs from LATER batches are
+    genuine stragglers and must survive."""
+    import os
+
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import _revacuum_done
+
+    state = str(tmp_path_factory.mktemp("revac"))
+    replayed = []
+    for sub in ("spill", "pre"):
+        p = os.path.join(state, sub, "batch_id=3", "window_bucket=5")
+        os.makedirs(p)
+        replayed.append(p)
+    straggler = os.path.join(state, "spill", "batch_id=4", "window_bucket=5")
+    open_bucket = os.path.join(state, "spill", "batch_id=3", "window_bucket=6")
+    os.makedirs(straggler)
+    os.makedirs(open_bucket)
+
+    _revacuum_done(state, {5: 3, 7: None})  # bucket 7: flush-exported (no mark)
+    for p in replayed:
+        assert not os.path.isdir(p), f"leaked replayed leaf {p}"
+    assert os.path.isdir(straggler), "straggler leaf must survive until flush"
+    assert os.path.isdir(open_bucket), "open bucket state must survive"
+
+
+def test_merged_conv_starts_tolerates_dataless_partials(spark, tmp_path_factory):
+    """An empty micro-batch's convstart partial can hold zero parquet data
+    files (AQE coalesces an empty valid set to 0 partitions); the merged
+    read must not die with UNABLE_TO_INFER_SCHEMA."""
+    import os
+
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import (
+        merged_conv_starts,
+    )
+
+    state = str(tmp_path_factory.mktemp("emptycs"))
+    os.makedirs(os.path.join(state, "convstart", "batch_id=0"))
+    assert merged_conv_starts(spark, state).count() == 0

@@ -91,7 +91,10 @@ def doc_fingerprint(
 # the DuckDB oracle's RE2 agree match-for-match
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
-PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+# whitespace spelled explicitly ([ \t]) rather than \s: Java's \s includes
+# vertical tab (\x0B) while RE2's does not, and both engines must match
+# identically for the oracle to agree
+PHONE_RE = r"\+?[0-9][0-9()\- \t]{7,}[0-9]"
 
 # replacement order matters: the earlier replacements' tokens contain no
 # digits, so they cannot create or destroy later matches

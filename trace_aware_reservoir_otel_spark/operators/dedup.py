@@ -369,6 +369,11 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # materialize the symmetrized edge list ONCE: each round joins `sym`
+    # against the labels, and without this the caller's (typically
+    # expensive — full MinHash-LSH candidate generation) edge plan would
+    # re-execute every round
+    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()

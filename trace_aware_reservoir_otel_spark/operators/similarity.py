@@ -345,7 +345,7 @@ def ivf_assign(
     centroids split the centroid list and fold the chunked winners (same
     algebra — max is associative). `centroids` may be the `ivf_centroids`
     DataFrame or its collected rows; the output centroid_id type follows
-    the centroid schema (or df's id_col for pre-collected rows), so
+    the centroid schema (inferred from the row values when pre-collected), so
     non-long ids (e.g. string doc ids) work.
     """
     if isinstance(centroids, DataFrame):
@@ -354,8 +354,22 @@ def ivf_assign(
             (r["centroid_id"], list(r["centroid_vec"])) for r in centroids.collect()
         ]
     else:
-        id_type = df.schema[id_col].dataType
         cent_rows = [(r["centroid_id"], list(r["centroid_vec"])) for r in centroids]
+        # carry the centroid id's OWN type (inferred from the Python value)
+        # rather than borrowing df's id_col type: with string doc ids a
+        # borrowed string type would make the argmax tie-break lexicographic
+        # ('10' < '2'), diverging from the numeric DataFrame-path/oracle rule
+        from pyspark.sql import types as T
+
+        first = cent_rows[0][0] if cent_rows else None
+        if isinstance(first, bool) or first is None:
+            id_type = df.schema[id_col].dataType
+        elif isinstance(first, int):
+            id_type = T.LongType()
+        elif isinstance(first, float):
+            id_type = T.DoubleType()
+        else:
+            id_type = T.StringType()
     if not cent_rows:
         return df.select(
             F.col(id_col),

@@ -34,7 +34,11 @@ Spark-first, the same semantics split into three composable pieces:
    idempotent under micro-batch replay — and its state is vacuumed.
    `flush_incremental` routes whatever windows remain open at stream end.
    Union of all rollover exports == the batch pipeline's routed output on
-   the same input.
+   the same input, for inputs that respect the declared `max_conv_span_s`
+   (when lateness + a span bound are on). A conversation that violates the
+   bound only AFTER its bucket exported keeps its stale late
+   classification — violators get best-effort dlq routing only when the
+   violation is observable at export time.
 
 Continuous-run posture (the properties a months-long deployment needs,
 asserted in tests/test_streaming_scale.py):
@@ -370,11 +374,15 @@ def merged_conv_starts(spark: SparkSession, state_dir: str) -> DataFrame:
     merges harmlessly."""
     from trace_aware_reservoir_otel_spark.plans import commit
 
+    import glob as _glob
+
     parts: "list[DataFrame]" = []
     root = f"{state_dir}/convstart"
-    if os.path.isdir(root) and any(
-        d.startswith("batch_id=") for d in os.listdir(root)
-    ):
+    # guard on actual *.parquet data files, not just batch_id= dirs: an
+    # empty micro-batch's partial can hold zero data files (AQE may
+    # coalesce an empty valid set to 0 partitions) and a bare-directory
+    # read would die with UNABLE_TO_INFER_SCHEMA mid-roll
+    if _glob.glob(os.path.join(root, "batch_id=*", "*.parquet")):
         parts.append(spark.read.parquet(root).drop("batch_id"))
     snap = f"{state_dir}/convstart_compacted"
     if commit.current_version(snap) is not None:
@@ -450,6 +458,34 @@ def _vacuum_exported(state_dir: str, buckets: "list") -> None:
                 leaf = os.path.join(root, bdir, f"window_bucket={key}")
                 if os.path.isdir(leaf):
                     shutil.rmtree(leaf)
+
+
+def _revacuum_done(state_dir: str, done: "dict") -> None:
+    """Re-vacuum leaf dirs of already-exported buckets written by batches
+    at-or-before the bucket's export mark. A replayed micro-batch (roll
+    ran, engine commit did not) rewrites its spill/pre leafs for a bucket
+    that was already exported+vacuumed; the straggler scan only looks at
+    batch_id > mark, so without this sweep those dirs leak forever —
+    correct counts, but state volume would quietly stop being O(open
+    buckets)."""
+    import shutil
+
+    marked = {str(int(b)): bid for b, bid in done.items() if bid is not None}
+    if not marked:
+        return
+    for sub in ("spill", "pre"):
+        root = os.path.join(state_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for bdir in os.listdir(root):
+            if not bdir.startswith("batch_id="):
+                continue
+            k = int(bdir.split("=", 1)[1])
+            for key, bid in marked.items():
+                if k <= bid:
+                    leaf = os.path.join(root, bdir, f"window_bucket={key}")
+                    if os.path.isdir(leaf):
+                        shutil.rmtree(leaf)
 
 
 def _route_buckets(
@@ -608,6 +644,7 @@ def _roll(
     horizon = float(hwm) - slack
     span = _bucket_span_s(cfg)
     done = _exported_buckets(state_dir)
+    _revacuum_done(state_dir, done)
     seen = {
         int(k)
         for rec in epoch
