@@ -370,3 +370,62 @@ def test_connected_components_edge_plan_executes_once(spark):
     # edge row exactly twice; per-round re-execution would multiply this
     # by the number of rounds (>= 3 here)
     assert acc.value == 2 * len(raw), acc.value
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path_factory):
+    """The materialized inverted file must make a probe a partition-pruned
+    scan: the per-query assign read touches only the nprobe probed cells
+    (never the full assignment, never the corpus), and results match the
+    inline (index-free) path exactly."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        ann_topk_ivf,
+        ivf_index,
+        ivf_probe_ids,
+    )
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    idx = str(tmp_path_factory.mktemp("ivf")) + "/index"
+
+    versions = ivf_index(emb, idx, n_centroids=8, seed=42)
+    assert versions == {"centroids": 1, "assign": 1}
+
+    got = ann_topk_ivf(
+        emb, qvec, k=10, n_centroids=8, nprobe=3, seed=42, index_dir=idx
+    ).collect()
+    want = ann_topk_ivf(emb, qvec, k=10, n_centroids=8, nprobe=3, seed=42).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # reuse, not rebuild: the committed version is untouched by the probe
+    assert commit.current_version(f"{idx}/assign") == 1
+
+    # the probed assign scan reads exactly the probed cells' rows...
+    probe_ids = ivf_probe_ids(spark, idx, qvec, nprobe=3)
+    assign = commit.read_committed(spark, f"{idx}/assign")
+    cell_sizes = {
+        r["centroid_id"]: r["n"]
+        for r in assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probed_rows = sum(cell_sizes[c] for c in probe_ids)
+    scan = assign.filter(F.col("centroid_id").isin([int(c) for c in probe_ids]))
+    assert scan.count() == probed_rows
+    assert probed_rows < emb.count(), "probe must not cover the whole corpus"
+
+    # ...and the filter is partition-level (pruning), not a row filter
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "centroid_id" in pf, plan

@@ -417,6 +417,94 @@ def ivf_assign(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> "dict[str, int]":
+    """Materialize the inverted file: ONE assignment pass over the corpus,
+    committed as two snapshot tables (plans/commit.py — readers never see
+    a half-written index, rebuilds swap in atomically):
+
+      {index_dir}/centroids  (centroid_id, centroid_vec)
+      {index_dir}/assign     (id, centroid_id, sim), PARTITIONED BY
+                             centroid_id — a probe of `nprobe` cells is
+                             partition pruning, reading nprobe/n_centroids
+                             of the index and none of the corpus.
+
+    This is what makes IVF an index: assignment cost (O(rows*C*dim)) is
+    paid once at build and amortized across every subsequent query,
+    instead of per query (the round-3 shape this replaces). Returns the
+    committed version numbers."""
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    cents = ivf_centroids(df, n_centroids, seed, vec_col, id_col)
+    v_cent = commit.commit_write(cents, f"{index_dir}/centroids")
+    assigned = ivf_assign(df, cents, vec_col, id_col, round_digits)
+    v_assign = commit.commit_write(
+        assigned, f"{index_dir}/assign", partition_by=["centroid_id"]
+    )
+    return {"centroids": v_cent, "assign": v_assign}
+
+
+def ivf_probe_ids(
+    spark,
+    index_dir: str,
+    query_vec: "list[float]",
+    nprobe: int = 4,
+    round_digits: int = 6,
+) -> list:
+    """The query's `nprobe` nearest centroid ids — driver-side math over
+    the committed centroid table (bounded by n_centroids; ties to the
+    smaller centroid id, same rule as the assignment argmax)."""
+    import math
+
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    cents = commit.read_committed(spark, f"{index_dir}/centroids").collect()
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+
+    def cos_to_query(vec):
+        d = sum(float(a) * float(b) for a, b in zip(vec, query_vec))
+        n = math.sqrt(sum(float(a) * float(a) for a in vec))
+        return round(d / (n * qn), round_digits)
+
+    probed = sorted(
+        ((-cos_to_query(list(r["centroid_vec"])), r["centroid_id"]) for r in cents)
+    )[:nprobe]
+    return [cid for _, cid in probed]
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    df: DataFrame,
+    index_dir: str,
+    query_vec: "list[float]",
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: "int | None" = 6,
+) -> DataFrame:
+    """IVF top-k against a materialized index (`ivf_index`): rank the
+    probed cells' members only. The assign read carries a partition filter
+    (centroid_id IN probes), so the scan touches nprobe cells of the
+    index — never the full assignment, never a full corpus pass; the
+    corpus itself is touched only by the broadcast semi-join on the
+    candidate ids."""
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    probe_ids = ivf_probe_ids(spark, index_dir, query_vec, nprobe, round_digits or 6)
+    assign = commit.read_committed(spark, f"{index_dir}/assign")
+    cand_ids = assign.filter(F.col("centroid_id").isin(probe_ids)).select(id_col)
+    cand = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+    return cosine_topk(cand, query_vec, k, vec_col, id_col, round_digits)
+
+
 def ann_topk_ivf(
     df: DataFrame,
     query_vec: "list[float]",
@@ -427,13 +515,31 @@ def ann_topk_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: "int | None" = 6,
+    index_dir: "str | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the query's `nprobe` nearest centroid
     cells, exact-rank only their members — the classic inverted-file scale
     path (candidates ~ nprobe/n_centroids of the corpus). Raise
     `n_centroids` with corpus size so cells stay O(corpus/n_centroids);
-    `nprobe` is the recall knob."""
+    `nprobe` is the recall knob.
+
+    With `index_dir` set, probes the materialized index (building it
+    first if absent) — assignment is amortized across queries, which is
+    the only regime where IVF beats the brute-force scan. Without it,
+    falls back to assigning the corpus inline (one-shot/ad-hoc use)."""
     import math
+
+    if index_dir is not None:
+        from trace_aware_reservoir_otel_spark.plans import commit
+
+        if commit.current_version(f"{index_dir}/assign") is None:
+            ivf_index(
+                df, index_dir, n_centroids, seed, vec_col, id_col, round_digits or 6
+            )
+        return ann_topk_ivf_indexed(
+            df.sparkSession, df, index_dir, query_vec, k, nprobe,
+            vec_col, id_col, round_digits,
+        )
 
     cents = ivf_centroids(df, n_centroids, seed, vec_col, id_col).collect()
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
@@ -448,7 +554,7 @@ def ann_topk_ivf(
     )[:nprobe]
     probe_ids = [cid for _, cid in probed]
     # pass the already-collected rows straight through — ivf_assign embeds
-    # them as literals, and the id type follows df's id_col (string ids OK)
+    # them as literals, and the id type is inferred from the row values
     assigned = ivf_assign(df, cents, vec_col, id_col, round_digits or 6)
     cand_ids = assigned.filter(F.col("centroid_id").isin(probe_ids)).select(id_col)
     cand = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
