@@ -396,3 +396,57 @@ def test_merged_conv_starts_tolerates_dataless_partials(spark, tmp_path_factory)
     state = str(tmp_path_factory.mktemp("emptycs"))
     os.makedirs(os.path.join(state, "convstart", "batch_id=0"))
     assert merged_conv_starts(spark, state).count() == 0
+
+
+def test_manifest_compaction_bounds_records_and_preserves_output(
+    spark, tmp_path_factory
+):
+    """With an aggressive compaction threshold, closed-out epoch/metrics
+    records fold into their summaries as the stream advances — the
+    per-batch manifest rewrite stays O(open records), not O(all batches
+    ever) — while the routed output, conservation, and gauges remain
+    exactly the batch pipeline's."""
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import (
+        _epoch_summary,
+        _metrics_summary,
+    )
+
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None,
+        export_bucket_windows=2,
+    )
+    base = str(tmp_path_factory.mktemp("stream_compact"))
+    df = generate_transcripts(spark, n_convs=150, seed=7)
+    in_dir = _write_time_sliced(spark, base, cfg, df, n_files=12)
+    state = os.path.join(base, "state")
+    out = os.path.join(base, "out")
+    run_incremental_routed(
+        spark, in_dir, cfg, state, os.path.join(base, "ck"), out,
+        manifest_compact_threshold=3,
+    )
+
+    epoch_records = _read_epoch(state)
+    summary = _epoch_summary(state)
+    assert summary["n_batches"] > 0, "no epoch records folded"
+    assert summary["n_batches"] + len(epoch_records) == 12
+    assert len(epoch_records) < 12, "manifest grew with every batch"
+    msum = _metrics_summary(state)
+    assert msum is not None and msum["n_exports"] > 0, "no metrics folded"
+
+    flush_incremental(spark, cfg, state, out)
+    got = _routed_histogram(spark.read.parquet(f"{out}/routed"))
+    exp = _routed_histogram(run_pipeline(df, cfg).routed)
+    assert got == exp
+    rows_in, rows_out = incremental_conservation(spark, state, out)
+    assert rows_in == rows_out == df.count()
+    gauges = {
+        r["metric"]: r["value"] for r in streaming_metrics(spark, state).collect()
+    }
+    assert gauges["epochs"] == 12.0
+    assert gauges["rows_in"] == float(df.count())
+    by_sink = {
+        s: sum(n for (c, t, sk, re), n in got.items() if sk == s)
+        for s in ("sampled_traces", "overflow", "dlq")
+    }
+    for s, n in by_sink.items():
+        assert gauges[f"rows_{s}"] == float(n), (s, n, gauges)

@@ -17,11 +17,15 @@ line — the property the exported-window / unit-done markers need so a
 crash between a sink write and its mark leads to an idempotent re-export,
 not a half-recorded one.
 
-Manifests here are driver-side bookkeeping: O(units + windows) records,
-rewritten wholesale per append — microseconds at any realistic cadence
-(one append per checkpoint unit or per closed window, not per row).
-Single-writer by design (one driver owns a state_dir), as with the
-reference's single-process Badger instance.
+Manifests here are driver-side bookkeeping, rewritten wholesale per
+append. That is only O(1) amortized if the record count stays bounded:
+per-batch manifests (streaming epoch/metrics, one record per micro-batch)
+would otherwise rewrite O(all batches ever) per batch — a months-long
+1-batch/s stream rewrites ~10^5 records each time. Writers with that
+growth profile must fold closed-out records into a summary
+(streaming.pipeline.compact_manifests), keeping every manifest at
+O(open records). Single-writer by design (one driver owns a state_dir),
+as with the reference's single-process Badger instance.
 """
 
 from __future__ import annotations

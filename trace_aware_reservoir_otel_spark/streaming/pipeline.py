@@ -300,17 +300,171 @@ def _epoch_path(state_dir: str) -> str:
 
 def _read_epoch(state_dir: str) -> "list[dict]":
     """Per-micro-batch bookkeeping records, deduped keep-last by batch_id
-    (a replayed batch upserts identical content). O(batches) tiny records
-    on the driver — the compact index that lets rollover decide which
-    buckets close WITHOUT any Spark job over the state tables."""
+    (a replayed batch upserts identical content). O(open batches) tiny
+    records on the driver — the compact index that lets rollover decide
+    which buckets close WITHOUT any Spark job over the state tables.
+    Records whose buckets are all exported get folded into a summary
+    record by `compact_manifests` (excluded here; see `_epoch_summary`)."""
     by_batch: "dict" = {}
     for rec in fsutil.read_jsonl(_epoch_path(state_dir)):
+        if rec.get("type") == "summary":
+            continue
         by_batch[rec["batch_id"]] = rec
     return [by_batch[b] for b in sorted(by_batch)]
 
 
+_EPOCH_SUMMARY_ZERO = {
+    "type": "summary",
+    "n_batches": 0,
+    "rows_in": 0,
+    "max_ts_s": None,
+    "bucket_span_s": None,
+}
+
+
+def _epoch_summary(state_dir: str) -> dict:
+    """The fold of all compacted-away batch records (zeros when compaction
+    has never run)."""
+    for rec in fsutil.read_jsonl(_epoch_path(state_dir)):
+        if rec.get("type") == "summary":
+            return rec
+    return dict(_EPOCH_SUMMARY_ZERO)
+
+
+def compact_manifests(state_dir: str) -> "tuple[int, int]":
+    """Fold closed-out records of the epoch and metrics manifests into one
+    summary record each, so the per-batch atomic rewrite stays O(open
+    records) over a months-long stream instead of O(all batches ever) —
+    the same quadratic the convstart compaction kills for parquet partials,
+    applied to the driver-side JSONL (fsutil rewrites the whole file per
+    append; without folding, a 1-batch/s stream rewrites ~10^5 records
+    per batch after a day).
+
+    An epoch record folds when every bucket it touched is exported with a
+    mark >= its batch_id (nothing can ever read it again: its leafs are
+    vacuumed, it can contribute no stragglers, its buckets are in the
+    done-set) — except the NEWEST record, kept as the replay fence (a
+    replayed micro-batch is always the latest uncommitted one; folding it
+    would double-count its rows when the replay re-upserts). A metrics
+    export record folds when its buckets' marks still point at it (it
+    "counts") under the same fence; a superseded record (marks moved) is
+    dead and is dropped. Returns (epoch_folded, metrics_folded)."""
+    records = _read_epoch(state_dir)
+    if not records:
+        return (0, 0)
+    done = _exported_buckets(state_dir)
+    fence = records[-1]["batch_id"]
+
+    def closed(rec: dict) -> bool:
+        if rec["batch_id"] >= fence:
+            return False
+        counts = rec.get("bucket_counts", {})
+        # the null-window bucket (-1) never exports mid-stream, but its
+        # state discovery is filesystem-keyed (_state_leaf_dirs), not
+        # epoch-keyed, so a record holding only -1 plus exported buckets
+        # is safe to fold — flush finds the -1 leafs by listing
+        return all(
+            k == "-1"
+            or (
+                int(k) in done
+                and done[int(k)] is not None
+                and rec["batch_id"] <= done[int(k)]
+            )
+            for k in counts
+        )
+
+    fold = [r for r in records if closed(r)]
+    n_epoch = len(fold)
+    if fold:
+        s = _epoch_summary(state_dir)
+        s["n_batches"] += len(fold)
+        s["rows_in"] += sum(r["rows_in"] for r in fold)
+        ts = [r["max_ts_s"] for r in fold if r.get("max_ts_s") is not None]
+        if s.get("max_ts_s") is not None:
+            ts.append(s["max_ts_s"])
+        s["max_ts_s"] = max(ts) if ts else None
+        s["bucket_span_s"] = s.get("bucket_span_s") or records[0].get("bucket_span_s")
+        folded_ids = {r["batch_id"] for r in fold}
+        keep = [r for r in records if r["batch_id"] not in folded_ids]
+        fsutil.write_jsonl_atomic(_epoch_path(state_dir), [s] + keep)
+
+    n_metrics = 0
+    mrecs = fsutil.read_jsonl(_metrics_path(state_dir))
+    if mrecs:
+        summary = None
+        keep_m: "list[dict]" = []
+        fold_m: "list[dict]" = []
+        dead = 0
+        for rec in mrecs:
+            t = rec.get("type")
+            if t == "summary":
+                summary = rec
+            elif t == "export":
+                counts_now = all(
+                    done.get(b) == rec["batch_id"] for b in rec["buckets"]
+                )
+                if not counts_now and rec["batch_id"] is not None and any(
+                    b in done and done[b] != rec["batch_id"] for b in rec["buckets"]
+                ):
+                    dead += 1  # superseded by a later re-export: drop
+                elif counts_now and (
+                    rec["batch_id"] is not None and rec["batch_id"] < fence
+                ):
+                    fold_m.append(rec)
+                else:
+                    keep_m.append(rec)
+            else:
+                keep_m.append(rec)
+        n_metrics = len(fold_m)
+        if fold_m or dead:
+            if summary is None:
+                summary = {
+                    "type": "summary",
+                    "n_exports": 0,
+                    "rows_total": 0,
+                    "sampled_traces": 0,
+                    "overflow": 0,
+                    "dlq": 0,
+                }
+            for rec in fold_m:
+                summary["n_exports"] += 1
+                for k in ("rows_total", "sampled_traces", "overflow", "dlq"):
+                    summary[k] += rec.get(k, 0)
+            fsutil.write_jsonl_atomic(
+                _metrics_path(state_dir), [summary] + keep_m
+            )
+    return (n_epoch, n_metrics)
+
+
+def _metrics_summary(state_dir: str) -> "dict | None":
+    for rec in fsutil.read_jsonl(_metrics_path(state_dir)):
+        if rec.get("type") == "summary":
+            return rec
+    return None
+
+
 def _metrics_path(state_dir: str) -> str:
     return os.path.join(state_dir, "metrics.jsonl")
+
+
+def _state_leaf_dirs(state_dir: str, sub: str, buckets: "list") -> "list[str]":
+    """Leaf directories (batch_id=N/window_bucket=B) holding the given
+    buckets' state — discovered by a bucket-keyed directory listing, so it
+    works regardless of whether the writing batches' epoch records were
+    already folded into the summary. O(open batch dirs): vacuum removes
+    emptied batch dirs, so the listing never grows with stream age."""
+    import glob as _glob
+
+    paths: "list[str]" = []
+    for b in buckets:
+        paths.extend(
+            p
+            for p in _glob.glob(
+                f"{state_dir}/{sub}/batch_id=*/window_bucket={int(b)}"
+            )
+            if os.path.isdir(p)
+        )
+    return paths
 
 
 def _read_state_buckets(
@@ -318,21 +472,13 @@ def _read_state_buckets(
     state_dir: str,
     sub: str,
     buckets: "list",
-    epoch: "list[dict]",
 ) -> "DataFrame | None":
     """Read ONLY the given export buckets' state partitions, as an
-    explicit list of leaf directories (batch_id=N/window_bucket=B) derived
-    from the epoch index — reading a non-closing bucket's data is
-    structurally impossible, not merely optimizer-pruned. basePath keeps
-    the partition columns. Returns None when nothing exists (e.g. already
-    vacuumed)."""
-    keys = {str(int(b)) for b in buckets}
-    paths = []
-    for rec in epoch:
-        for key in keys & set(rec.get("bucket_counts", {})):
-            p = f"{state_dir}/{sub}/batch_id={rec['batch_id']}/window_bucket={key}"
-            if os.path.isdir(p):
-                paths.append(p)
+    explicit list of leaf directories — reading a non-closing bucket's
+    data is structurally impossible, not merely optimizer-pruned. basePath
+    keeps the partition columns. Returns None when nothing exists (e.g.
+    already vacuumed)."""
+    paths = _state_leaf_dirs(state_dir, sub, buckets)
     if not paths:
         return None
     return spark.read.option("basePath", f"{state_dir}/{sub}").parquet(*paths)
@@ -458,6 +604,25 @@ def _vacuum_exported(state_dir: str, buckets: "list") -> None:
                 leaf = os.path.join(root, bdir, f"window_bucket={key}")
                 if os.path.isdir(leaf):
                     shutil.rmtree(leaf)
+    _prune_empty_batch_dirs(state_dir)
+
+
+def _prune_empty_batch_dirs(state_dir: str) -> None:
+    """Remove batch_id= dirs whose every leaf was vacuumed, so the
+    bucket-keyed directory listings (_state_leaf_dirs, flush's disk scan)
+    stay O(open batches) over the stream's life."""
+    for sub in ("spill", "pre"):
+        root = os.path.join(state_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        for bdir in os.listdir(root):
+            if not bdir.startswith("batch_id="):
+                continue
+            p = os.path.join(root, bdir)
+            if not any(e.startswith("window_bucket=") for e in os.listdir(p)):
+                import shutil
+
+                shutil.rmtree(p, ignore_errors=True)
 
 
 def _revacuum_done(state_dir: str, done: "dict") -> None:
@@ -486,6 +651,7 @@ def _revacuum_done(state_dir: str, done: "dict") -> None:
                     leaf = os.path.join(root, bdir, f"window_bucket={key}")
                     if os.path.isdir(leaf):
                         shutil.rmtree(leaf)
+    _prune_empty_batch_dirs(state_dir)
 
 
 def _route_buckets(
@@ -521,13 +687,12 @@ def _route_buckets(
 
     if not buckets:
         return
-    epoch = _read_epoch(state_dir)
-    spill = _read_state_buckets(spark, state_dir, "spill", buckets, epoch)
+    spill = _read_state_buckets(spark, state_dir, "spill", buckets)
     if spill is None:
         _mark_exported(state_dir, buckets, batch_id)
         return
     rows = spill.drop("batch_id", "window_bucket")
-    pre_df = _read_state_buckets(spark, state_dir, "pre", buckets, epoch)
+    pre_df = _read_state_buckets(spark, state_dir, "pre", buckets)
     invalid = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
     persisted: "list[DataFrame]" = []
     starts = None
@@ -632,8 +797,13 @@ def _roll(
     epoch = _read_epoch(state_dir)
     if not epoch:
         return
+    summary_ts = _epoch_summary(state_dir).get("max_ts_s")
     hwm = max(
-        (r["max_ts_s"] for r in epoch if r.get("max_ts_s") is not None),
+        (
+            r["max_ts_s"]
+            for r in epoch + [{"max_ts_s": summary_ts}]
+            if r.get("max_ts_s") is not None
+        ),
         default=None,
     )
     if hwm is None:
@@ -667,6 +837,7 @@ def run_incremental_routed(
     max_files_per_trigger: int = 1,
     watermark_s: float = 0.0,
     convstart_compact_threshold: int = 64,
+    manifest_compact_threshold: int = 64,
 ) -> None:
     """Streaming fan-out with rollover export (processor.go:317-347).
 
@@ -692,6 +863,8 @@ def run_incremental_routed(
     rolling = cfg.late_tolerance_s is None or cfg.max_conv_span_s is not None
     span = _bucket_span_s(cfg)
     saved = next(iter(_read_epoch(state_dir)), None)
+    if saved is None and _epoch_summary(state_dir).get("bucket_span_s") is not None:
+        saved = _epoch_summary(state_dir)
     if saved is not None and saved.get("bucket_span_s") != span:
         raise ValueError(
             f"state at {state_dir} uses bucket_span_s="
@@ -763,6 +936,11 @@ def run_incremental_routed(
         )
         if rolling:
             _roll(spark, cfg, state_dir, out_dir, batch_id, watermark_s)
+        # fold closed-out epoch/metrics records into their summaries so the
+        # per-batch manifest rewrite stays O(open records) over the
+        # stream's life (exported buckets' records drain as they close)
+        if len(_read_epoch(state_dir)) > manifest_compact_threshold:
+            compact_manifests(state_dir)
 
     q = (
         stream.writeStream.foreachBatch(per_batch)
@@ -789,11 +967,20 @@ def flush_incremental(
     Observation, and they balance `incremental_conservation`."""
     from pyspark.sql import Observation
 
+    import glob as _glob
+
     epoch = _read_epoch(state_dir)
     done = _exported_buckets(state_dir)
+    # epoch records plus an on-disk scan: a folded record's only
+    # unexported state is the null-window bucket (-1), whose leafs the
+    # listing recovers (leaf discovery is filesystem-keyed)
+    disk = {
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in _glob.glob(f"{state_dir}/spill/batch_id=*/window_bucket=*")
+    }
     seen = {
         int(k) for rec in epoch for k in rec.get("bucket_counts", {})
-    }
+    } | disk
     remaining = sorted(b for b in seen if b not in done)
     _route_buckets(spark, cfg, state_dir, out_dir, remaining, None)
 
@@ -842,10 +1029,13 @@ def incremental_conservation(
     point at it (a re-export after a lost mark supersedes the stale
     record)."""
     epoch = _read_epoch(state_dir)
-    rows_in = sum(r["rows_in"] for r in epoch)
+    rows_in = _epoch_summary(state_dir)["rows_in"] + sum(r["rows_in"] for r in epoch)
     done = _exported_buckets(state_dir)
     rows_out = 0
     for rec in fsutil.read_jsonl(_metrics_path(state_dir)):
+        if rec.get("type") == "summary":
+            rows_out += rec["rows_total"]  # folded records all counted
+            continue
         if rec.get("type") == "stragglers":
             rows_out += rec["rows_total"]
             continue
@@ -859,17 +1049,21 @@ def streaming_metrics(spark: SparkSession, state_dir: str) -> DataFrame:
     per-sink routed totals, epochs processed, buckets exported — all from
     the manifests' Observation-backed records, no state re-reads."""
     epoch = _read_epoch(state_dir)
+    summary = _epoch_summary(state_dir)
     done = _exported_buckets(state_dir)
     sinks = {"sampled_traces": 0, "overflow": 0, "dlq": 0}
     for rec in fsutil.read_jsonl(_metrics_path(state_dir)):
-        if rec.get("type") == "stragglers":
+        if rec.get("type") == "summary":
+            for s in sinks:
+                sinks[s] += rec.get(s, 0)
+        elif rec.get("type") == "stragglers":
             sinks["dlq"] += rec["rows_total"]
         elif all(done.get(b) == rec["batch_id"] for b in rec["buckets"]):
             for s in sinks:
                 sinks[s] += rec.get(s, 0)
     rows = [
-        ("epochs", float(len(epoch))),
-        ("rows_in", float(sum(r["rows_in"] for r in epoch))),
+        ("epochs", float(summary["n_batches"] + len(epoch))),
+        ("rows_in", float(summary["rows_in"] + sum(r["rows_in"] for r in epoch))),
         ("buckets_exported", float(len(done))),
         *[(f"rows_{s}", float(n)) for s, n in sinks.items()],
     ]
