@@ -44,3 +44,55 @@ def test_write_is_atomic_replace(tmp_path):
     fsutil.write_jsonl_atomic(p, [{"v": i} for i in range(100)])
     fsutil.write_jsonl_atomic(p, [{"v": -1}])
     assert [r["v"] for r in fsutil.read_jsonl(p)] == [-1]
+
+
+class _FaultyCommitter:
+    """Wraps the real committer; raises at a chosen call index — before
+    the replace takes effect (the crash point the protocol must survive)."""
+
+    def __init__(self, fail_at: int):
+        from trace_aware_reservoir_otel_spark.fsutil import LocalRenameCommitter
+
+        self.inner = LocalRenameCommitter()
+        self.calls = 0
+        self.fail_at = fail_at
+
+    def replace(self, path, data):
+        self.calls += 1
+        if self.calls == self.fail_at:
+            raise OSError("injected fault before atomic replace")
+        self.inner.replace(path, data)
+
+
+def test_fault_during_manifest_replace_leaves_previous_intact(tmp_path):
+    """A crash during the manifest rewrite must leave the COMPLETE
+    previous manifest — the exported-mark / epoch writers depend on this
+    (torn line => undetectable double-export on restart)."""
+    import pytest
+
+    from trace_aware_reservoir_otel_spark import fsutil
+
+    p = str(tmp_path / "m.jsonl")
+    fsutil.append_jsonl_atomic(p, [{"bucket": 1, "batch_id": 7}])
+    before = fsutil.read_jsonl(p)
+
+    prev = fsutil.set_committer(_FaultyCommitter(fail_at=1))
+    try:
+        with pytest.raises(OSError, match="injected"):
+            fsutil.append_jsonl_atomic(p, [{"bucket": 2, "batch_id": 8}])
+        assert fsutil.read_jsonl(p) == before  # complete previous manifest
+        # retry under a healed committer lands the full new contents
+        fsutil.set_committer(prev)
+        fsutil.append_jsonl_atomic(p, [{"bucket": 2, "batch_id": 8}])
+        assert fsutil.read_jsonl(p) == before + [{"bucket": 2, "batch_id": 8}]
+    finally:
+        fsutil.set_committer(prev)
+
+
+def test_conditional_put_committer_is_an_honest_stub():
+    import pytest
+
+    from trace_aware_reservoir_otel_spark.fsutil import ConditionalPutCommitter
+
+    with pytest.raises(NotImplementedError, match="object-store"):
+        ConditionalPutCommitter("bucket").replace("x", b"")
