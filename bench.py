@@ -135,9 +135,13 @@ def run_headline(spark) -> "tuple[dict, dict]":
     qs = contract_queries()
     times: dict = {}
     extras: dict = {}
+    calib: dict = {}
     # best-of-2 per query: the sandbox's background load varies 2-3x within
     # minutes; a single-shot headline is a coin flip on the noise, and the
-    # second shot also strips one-time codegen/broadcast warm-up
+    # second shot also strips one-time codegen/broadcast warm-up. Each
+    # number carries its own calibration probe (single-thread mops/sec
+    # sampled right after the timing), so a reader can tell a slow query
+    # from a loaded machine without trusting the run-level average.
     for name in names:
         if name not in qs:
             continue
@@ -148,24 +152,112 @@ def run_headline(spark) -> "tuple[dict, dict]":
             sec = time.time() - t0
             best = sec if best is None or sec < best else best
         times[name] = round(best, 3)
+        calib[name] = round(_cpu_calibration(0.15) / 1e6, 1)
         extras[f"rows_{name}"] = int(n)
-    # flagship at bench scale (synthetic transcripts)
+    # flagship at bench scale (synthetic transcripts). The FIRST run after
+    # a session touches this input is 5-7x slower than steady state (JIT,
+    # codegen caches, file listing) — round 3 recorded min(cold, semi-cold)
+    # and looked like a 3.6x regression; an explicit warm-up pass excluded
+    # from the min keeps the artifact a steady-state number, and the cold
+    # time is recorded alongside for transparency.
     path = _ensure_bench_transcripts(spark)
-    sec, n_input = _flagship(spark, path)
+    warm_sec, n_input = _flagship(spark, path)
+    sec, _ = _flagship(spark, path)
     sec2, _ = _flagship(spark, path)
     sec = min(sec, sec2)
     times["flagship_bench_scale"] = round(sec, 3)
+    calib["flagship_bench_scale"] = round(_cpu_calibration(0.15) / 1e6, 1)
+    extras["flagship_warmup_sec"] = round(warm_sec, 3)
     extras["bench_turns"] = int(n_input)
     extras["turns_per_sec"] = round(n_input / sec, 1)
     # the reference's actual shape: streaming rollover export (r3)
     ssec, srows, srolls = _streaming_rollover(spark, path)
     times["streaming_rollover_bench"] = round(ssec, 3)
+    calib["streaming_rollover_bench"] = round(_cpu_calibration(0.15) / 1e6, 1)
     extras["streaming_turns_per_sec"] = round(srows / ssec, 1)
     extras["streaming_mid_rolls"] = int(srolls)
     extras["headline_r1_subset_sec"] = round(
         sum(v for k, v in times.items() if k in r1_subset), 3
     )
+    extras["calib_per_query_mops"] = calib
+    # recall@10 next to the ANN timings, so a knob/plan change can't buy
+    # speed by silently trading recall (the planted-fixture harness from
+    # tests/test_ann_recall.py, run at this SF's embeddings)
+    extras.update(_ann_recall(spark))
     return times, extras
+
+
+def _ann_recall(spark) -> "dict[str, float]":
+    """recall@10 of the LSH and IVF ANN paths at their bench/default knobs
+    on SF_DIR's embeddings with planted near-copies (the retrieval
+    workload near-dup detection actually runs)."""
+    import hashlib
+
+    from pyspark.sql import functions as F  # noqa: F401 — parity with tests
+
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_lsh,
+    )
+
+    query_ids, n_copies, k = (0, 42, 123), 10, 10
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+
+    def jitter(vec, qid, j):
+        out = []
+        for d, x in enumerate(vec):
+            h = int(hashlib.md5(f"{qid}:{j}:{d}".encode()).hexdigest()[:8], 16)
+            out.append(float(x) * (1.0 + 0.001 * j) + ((h % 1000) - 500) * 1e-5)
+        return out
+
+    planted = [
+        (1_000_000 + qi * 1000 + j, jitter(base[qid], qid, j + 1))
+        for qi, qid in enumerate(query_ids)
+        for j in range(1, n_copies + 1)
+    ]
+    aug = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    ).cache()
+    aug.count()
+    corpus = dict(base)
+    corpus.update(dict(planted))
+
+    import math
+
+    def exact_topk(q):
+        qn = math.sqrt(sum(x * x for x in q))
+        scored = sorted(
+            (
+                -round(
+                    sum(a * b for a, b in zip(v, q))
+                    / (math.sqrt(sum(a * a for a in v)) * qn),
+                    6,
+                ),
+                i,
+            )
+            for i, v in corpus.items()
+        )
+        return {i for _, i in scored[:k]}
+
+    lsh, ivf = [], []
+    for qid in query_ids:
+        q = base[qid]
+        truth = exact_topk(q)
+        got_lsh = {r["vec_id"] for r in ann_topk_lsh(aug, q, k=k).collect()}
+        got_ivf = {
+            r["vec_id"]
+            for r in ann_topk_ivf(aug, q, k=k, n_centroids=16, nprobe=4).collect()
+        }
+        lsh.append(len(got_lsh & truth) / k)
+        ivf.append(len(got_ivf & truth) / k)
+    aug.unpersist()
+    return {
+        "recall_ann_lsh": round(sum(lsh) / len(lsh), 3),
+        "recall_ann_ivf": round(sum(ivf) / len(ivf), 3),
+    }
 
 
 def _ensure_stream_files(spark, src_path: str, n_files: int = 8) -> str:

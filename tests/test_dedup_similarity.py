@@ -429,3 +429,39 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path_factory):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "centroid_id" in pf, plan
+
+
+def test_two_phase_cc_matches_propagation_and_handles_deep_chains(spark):
+    """Large-star/small-star alternation must produce the identical
+    min-of-component labeling as min-label propagation, and converge in
+    O(log n) alternations on a chain whose diameter would defeat the
+    propagation round budget."""
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components_two_phase(edges).collect()
+    }
+    want = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == want
+
+    # 200-node chain: diameter 199 >> propagation's default 25 rounds,
+    # but ~log2(200) star alternations
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["id"]: r["comp"]
+        for r in connected_components_two_phase(chain, max_iter=20).collect()
+    }
+    assert comp == {i: 1 for i in range(1, 201)}
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components_two_phase(empty).count() == 0

@@ -26,6 +26,8 @@ NEW_SINCE_DRIVER: "set[str]" = {
     "ann_ivf_topk",
     "dup_clusters",
     "dedup_survivors",
+    # added in round 4 (before the r04 driver gate)
+    "dup_clusters_two_phase",
 }
 
 

@@ -633,6 +633,23 @@ def oracle_dup_clusters() -> str:
     )
 
 
+def q_dup_clusters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via the large-star/small-star alternation
+    (operators/dedup.connected_components_two_phase) — the O(log n)-round
+    path for adversarial component diameters, checked against the same
+    recursive-CTE oracle as the propagation variant."""
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        connected_components_two_phase,
+    )
+
+    cc = connected_components_two_phase(q_lsh_pairs(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus: smallest-id member of each near-dup
     cluster survives; unclustered documents pass through."""
@@ -665,6 +682,7 @@ DEDUP_QUERIES = {
     "ivf_assign": q_ivf_assign,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dup_clusters": q_dup_clusters,
+    "dup_clusters_two_phase": q_dup_clusters_two_phase,
     "dedup_survivors": q_dedup_survivors,
 }
 
@@ -682,5 +700,6 @@ def dedup_oracles() -> "dict[str, str]":
         "ivf_assign": oracle_ivf_assign(),
         "ann_ivf_topk": oracle_ann_ivf_topk(),
         "dup_clusters": oracle_dup_clusters(),
+        "dup_clusters_two_phase": oracle_dup_clusters(),
         "dedup_survivors": oracle_dedup_survivors(),
     }

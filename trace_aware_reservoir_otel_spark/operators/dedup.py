@@ -356,10 +356,10 @@ def connected_components(
     relations, never documents), so each round is a bounded unit-level
     shuffle. Rounds = O(component diameter); near-dup clusters are
     shallow (pairs / stars / small cliques), so convergence is typically
-    3-5 rounds. For adversarial diameter (long chains) the known
-    accelerator is large-star/small-star alternation (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond"), built from the same
-    two primitives. Lineage is truncated every round (localCheckpoint) so
+    3-5 rounds. For adversarial diameter (long chains) use
+    `connected_components_two_phase` — the large-star/small-star
+    alternation (Kiveris et al.), O(log n) rounds, identical labels.
+    Lineage is truncated every round (localCheckpoint) so
     the plan stays constant-size instead of growing by two joins per
     round; early-exit when a round changes nothing. Deterministic: the
     min-label fixpoint is unique.
@@ -405,6 +405,85 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "raise max_iter (component diameter exceeds it)"
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star operation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): for every node u, connect each STRICTLY LARGER
+    neighbor to the minimum of Γ(u) ∪ {u}. One symmetrize + one
+    groupBy-min + one join — all id-level."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mv"))
+    mins = mins.select("u", F.least("_mv", "u").alias("m"))
+    return (
+        sym.join(mins, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star operation: direct each edge large→small; for every node
+    u connect its (all smaller) neighbors and u itself to their minimum."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    nodes = d.join(mins, on="u").select(F.col("v").alias("n"), "m").unionByName(
+        mins.select(F.col("u").alias("n"), "m")
+    )
+    return (
+        nodes.filter(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star (Kiveris et
+    al.) — the O(log n)-round accelerator for ADVERSARIAL component
+    diameters, where min-label propagation (`connected_components`) needs
+    O(diameter) rounds. A 10^6-node chain converges in ~20 alternations
+    instead of 10^6 propagations; each alternation is two id-level
+    groupBy-min + join rounds, the same shuffle unit as one propagation.
+
+    Fixpoint: both operations leave the edge set unchanged exactly when it
+    is a union of min-rooted stars; labels are then star edges plus their
+    centers. The check is exact (two one-row exceptAll probes), not a
+    hash. Lineage truncated per alternation (localCheckpoint). Same
+    min-of-component labels as `connected_components` — interchangeable,
+    and asserted equal in tests. Raises RuntimeError on non-convergence
+    rather than returning a half-contracted labeling."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if not e.head(1):
+        return e.select(F.col("u").alias("id"), F.col("v").alias("comp")).limit(0)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        unchanged = (
+            not nxt.exceptAll(e).head(1) and not e.exceptAll(nxt).head(1)
+        )
+        e = nxt
+        if unchanged:
+            centers = e.select(F.col("v").alias("id")).distinct()
+            return e.select(F.col("u").alias("id"), F.col("v").alias("comp")).unionByName(
+                centers.select("id", F.col("id").alias("comp"))
+            )
+    raise RuntimeError(
+        f"connected_components_two_phase did not converge in {max_iter} "
+        "alternations; raise max_iter"
     )
 
 
