@@ -465,3 +465,49 @@ def test_two_phase_cc_matches_propagation_and_handles_deep_chains(spark):
 
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components_two_phase(empty).count() == 0
+
+
+def test_ivf_assign_chunked_fold_matches_crossjoin_argmax(spark):
+    """With n_centroids > the 256-struct chunk size, the chunk-seeded fold
+    must agree exactly with an independent cross-join + row_number argmax
+    (same round/tie rules)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, n_centroids=300, seed=42)
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["sim"])
+        for r in ivf_assign(emb, cents).collect()
+    }
+
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda a: F.sqrt(  # noqa: E731
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = v.crossJoin(cents).select(
+        "vec_id",
+        "centroid_id",
+        F.round(
+            dot(F.col("v"), F.col("centroid_vec"))
+            / (norm(F.col("v")) * norm(F.col("centroid_vec"))),
+            6,
+        ).alias("sim"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    )
+    want = {
+        r["vec_id"]: (r["centroid_id"], r["sim"])
+        for r in scored.withColumn("rn", rn).filter(F.col("rn") == 1).collect()
+    }
+    assert got == want

@@ -341,9 +341,11 @@ def ivf_assign(
     groupBy argmax, which materialized a rows x n_centroids intermediate
     through the full aggregation path).
 
-    Expression size grows as n_centroids * dim literals; beyond ~10^3
-    centroids split the centroid list and fold the chunked winners (same
-    algebra — max is associative). `centroids` may be the `ivf_centroids`
+    Expression size grows as n_centroids * dim literals; the fold is
+    chunked (256 structs per array literal, each chunk seeded with the
+    previous winner — same algebra, max is associative) so codegen'd
+    expressions stay bounded at any n_centroids. `centroids` may be the
+    `ivf_centroids`
     DataFrame or its collected rows; the output centroid_id type follows
     the centroid schema (inferred from the row values when pre-collected), so
     non-long ids (e.g. string doc ids) work.
@@ -409,7 +411,14 @@ def ivf_assign(
         | ((x["sim"] == acc["sim"]) & (x["centroid_id"] < acc["centroid_id"])),
         x,
     ).otherwise(acc)
-    best = F.aggregate(F.array(*structs), zero, better)
+    # chunked fold: each chunk's aggregate seeds the next (max is
+    # associative), so a single array literal never exceeds ~256 structs —
+    # keeps codegen'd expression size bounded at any n_centroids instead
+    # of the former "split beyond ~10^3" caveat
+    chunk = 256
+    best = zero
+    for i in range(0, len(structs), chunk):
+        best = F.aggregate(F.array(*structs[i : i + chunk]), best, better)
     return scored.select(
         F.col(id_col),
         best["centroid_id"].alias("centroid_id"),

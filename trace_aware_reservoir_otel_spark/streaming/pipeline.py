@@ -287,7 +287,14 @@ def _mark_exported(state_dir: str, buckets: "list", batch_id: "int | None") -> N
     # atomic replace (fsutil): a crash between the sink write and this mark
     # leaves the previous manifest complete, so restart re-routes the same
     # buckets onto the same partitions — idempotent overwrite, never a
-    # torn manifest line
+    # torn manifest line.
+    # Growth: one record per export BUCKET (= export_bucket_windows
+    # windows ≈ half an hour of event time at defaults), kept for the
+    # stream's life — readers (read_exported), conservation, and the
+    # straggler scan all need the full map. A year-long stream is ~2*10^4
+    # records (~1 MB rewrite per roll) — three orders of magnitude below
+    # the per-BATCH manifests that compact_manifests folds; revisit with
+    # the same summary pattern only if bucket cadence is cranked way up.
     fsutil.append_jsonl_atomic(
         os.path.join(state_dir, "exported.jsonl"),
         [{"bucket": b, "batch_id": batch_id} for b in buckets],
