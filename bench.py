@@ -52,6 +52,12 @@ def _spark(cores: int):
     # yields fewer scan tasks than cores (measured 0.37 -> 0.45 trivial-
     # scan efficiency). A real cluster reading 100 TB keeps the default.
     extra = {"spark.sql.files.maxPartitionBytes": "16m"}
+    if not os.environ.get("SPARK_DRIVER_MEMORY"):
+        # heap must scale with thread count: 32 tasks' in-flight state in
+        # the 8-thread heap GC-thrashes (measured at 234M turns: 8g=4.3M
+        # t/s vs 24g=8.1M t/s at local[32] — a 1.9x). ~0.75g/thread, 8g
+        # floor, mirrors per-executor sizing on a real cluster.
+        extra["spark.driver.memory"] = f"{max(8, (cores * 3) // 4)}g"
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         # shuffle/scratch on tmpfs: keeps measurements CPU-bound instead of
         # at the mercy of the sandbox's shared disk

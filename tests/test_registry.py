@@ -28,6 +28,8 @@ NEW_SINCE_DRIVER: "set[str]" = {
     "dedup_survivors",
     # added in round 4 (before the r04 driver gate)
     "dup_clusters_two_phase",
+    "corpus_prep",
+    "embedding_dedup_survivors",
 }
 
 

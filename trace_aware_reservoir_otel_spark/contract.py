@@ -1269,6 +1269,82 @@ def _oracle_pii_redaction() -> str:
     """
 
 
+def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep over documents — the composed
+    pipeline a corpus actually goes through before a training run, each
+    stage the real operator: quality/language gate (quality_features) →
+    exact dedup with min-id survivor (window over the content hash — one
+    shuffle keyed by md5(text), NO join, the 100-TB shape: survivor
+    selection never materializes a survivor table to join back) → PII
+    scrub (redact_pii). Output stats + redacted-text md5 (one mis-scrubbed
+    character flips the row hash)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from trace_aware_reservoir_otel_spark.functions.text import (
+        quality_features,
+        redact_pii,
+    )
+    from trace_aware_reservoir_otel_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(docs)
+    kept = q.filter(
+        (F.col("n_tokens") >= 5) & (F.col("lang_pred") == "en_like")
+    )
+    wdup = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    surv = (
+        kept.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return surv.select(
+        "doc_id",
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+        "n_tokens",
+        "n_tokens_bpe_ish",
+    )
+
+
+def _oracle_corpus_prep() -> str:
+    from trace_aware_reservoir_otel_spark.functions.text import (
+        BPE_ISH_RE,
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    nt = DUCK.ntokens("text")
+    hits = DUCK.regexp_count("(' ' || text || ' ')", r"\b(the|a|of|and|to|in|is)\b")
+    return f"""
+    with q as (
+      select doc_id, text,
+             {nt} as n_tokens,
+             cast({hits} as bigint) as sw_hits
+      from documents
+    ),
+    kept as (
+      select * from q
+      where n_tokens >= 5 and sw_hits * 12 >= n_tokens
+    ),
+    surv as (
+      select doc_id, text, n_tokens from (
+        select *, row_number() over (
+          partition by md5(text) order by doc_id) as rn
+        from kept)
+      where rn = 1
+    )
+    select doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')) as redacted_md5,
+           n_tokens,
+           cast(len(regexp_extract_all(text, '{BPE_ISH_RE}')) as bigint)
+             as n_tokens_bpe_ish
+    from surv
+    """
+
+
 def _library_queries():
     return {
         "lib_reservoir_events": _q_lib_reservoir_events,
@@ -1282,6 +1358,7 @@ def _library_queries():
         "stratified_doc_sample": _q_stratified_doc_sample,
         "enrich_from_files": _q_enrich_from_files,
         "pii_redaction": _q_pii_redaction,
+        "corpus_prep": _q_corpus_prep,
     }
 
 
@@ -1300,4 +1377,5 @@ def _library_oracles():
         "stratified_doc_sample": _oracle_stratified_doc_sample(),
         "enrich_from_files": _oracle_enrich_from_files(),
         "pii_redaction": _oracle_pii_redaction(),
+        "corpus_prep": _oracle_corpus_prep(),
     }

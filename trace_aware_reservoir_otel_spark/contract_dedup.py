@@ -670,6 +670,49 @@ def oracle_dedup_survivors() -> str:
     )
 
 
+def q_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space deduplicated corpus: SRP-LSH near-pairs →
+    connected components → smallest-id survivor anti-join — the full
+    semantic-dedup path (pairs → clusters → corpus) over the embedding
+    column, composing the same operators the text-space dedup uses."""
+    from trace_aware_reservoir_otel_spark.operators.dedup import dedup_survivors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies)
+    pairs = q_embedding_near_pairs(spark, sf_dir)
+    return dedup_survivors(
+        aug, pairs, id_col="vec_id", src="id_a", dst="id_b"
+    ).select("vec_id")
+
+
+def oracle_embedding_dedup_survivors() -> str:
+    return (
+        "with recursive np as (\n"
+        "      select * from (" + oracle_embedding_near_pairs() + ") t\n"
+        "    ),\n"
+        "    eedges as (\n"
+        "      select id_a as a, id_b as b from np\n"
+        "      union all\n"
+        "      select id_b, id_a from np\n"
+        "    ),\n"
+        "    everts as (select distinct a as id from eedges),\n"
+        "    ewalk(id, dst) as (\n"
+        "      select id, id from everts\n"
+        "      union\n"
+        "      select w.id, e.b from ewalk w join eedges e on e.a = w.dst\n"
+        "    ),\n"
+        "    elosers as (select id from ewalk group by id having min(dst) <> id),\n"
+        "    eaug as " + _AUG_EMB_SQL + "\n"
+        "    select vec_id from eaug\n"
+        "    where vec_id not in (select id from elosers)"
+    )
+
+
 DEDUP_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_lsh_pairs,
@@ -684,6 +727,7 @@ DEDUP_QUERIES = {
     "dup_clusters": q_dup_clusters,
     "dup_clusters_two_phase": q_dup_clusters_two_phase,
     "dedup_survivors": q_dedup_survivors,
+    "embedding_dedup_survivors": q_embedding_dedup_survivors,
 }
 
 
@@ -702,4 +746,5 @@ def dedup_oracles() -> "dict[str, str]":
         "dup_clusters": oracle_dup_clusters(),
         "dup_clusters_two_phase": oracle_dup_clusters(),
         "dedup_survivors": oracle_dedup_survivors(),
+        "embedding_dedup_survivors": oracle_embedding_dedup_survivors(),
     }
