@@ -450,3 +450,59 @@ def test_manifest_compaction_bounds_records_and_preserves_output(
     }
     for s, n in by_sink.items():
         assert gauges[f"rows_{s}"] == float(n), (s, n, gauges)
+
+
+def test_resume_after_full_epoch_fold(spark, tmp_path_factory):
+    """A stream that stops, has (nearly) all its epoch records folded into
+    the summary, and resumes on new input must: read bucket_span_s from
+    the summary for the resume guard, keep rolling correctly (hwm from
+    summary + fresh records), and still equal the batch pipeline with
+    exact conservation at the end."""
+    from trace_aware_reservoir_otel_spark.streaming.pipeline import (
+        _epoch_summary,
+        compact_manifests,
+    )
+
+    cfg = PipelineConfig(
+        size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None,
+        export_bucket_windows=2,
+    )
+    base = str(tmp_path_factory.mktemp("stream_resume_fold"))
+    df = generate_transcripts(spark, n_convs=150, seed=7)
+    in_dir = _write_time_sliced(spark, base, cfg, df, n_files=8)
+    state = os.path.join(base, "state")
+    ck = os.path.join(base, "ck")
+    out = os.path.join(base, "out")
+
+    # phase 1: only the first half of the files exists in the watched dir
+    watched = os.path.join(base, "in_watched")
+    os.makedirs(watched)
+    files = sorted(os.listdir(in_dir))
+    for f in files[:4]:
+        os.link(os.path.join(in_dir, f), os.path.join(watched, f))
+    run_incremental_routed(spark, watched, cfg, state, ck, out)
+    compact_manifests(state)
+    folded = _epoch_summary(state)["n_batches"]
+    assert folded > 0, "phase-1 records must fold for the test to bite"
+
+    # resume-bounds guard must still reject a mismatched bucket span even
+    # when the span is only recorded in the summary
+    if len(_read_epoch(state)) == 0:
+        bad = PipelineConfig(
+            size_k=5, window_duration_s=60, seed=42, late_tolerance_s=None,
+            export_bucket_windows=7,
+        )
+        with pytest.raises(ValueError, match="bucket_span_s"):
+            run_incremental_routed(spark, watched, bad, state, ck, out)
+
+    # phase 2: the remaining files appear in the SAME watched dir; the
+    # same checkpoint resumes and processes only them
+    for f in files[4:]:
+        os.link(os.path.join(in_dir, f), os.path.join(watched, f))
+    run_incremental_routed(spark, watched, cfg, state, ck, out)
+    flush_incremental(spark, cfg, state, out)
+    got = _routed_histogram(spark.read.parquet(f"{out}/routed"))
+    exp = _routed_histogram(run_pipeline(df, cfg).routed)
+    assert got == exp
+    rows_in, rows_out = incremental_conservation(spark, state, out)
+    assert rows_in == rows_out == df.count()
