@@ -166,3 +166,14 @@ def test_parquet_dims_join_stays_broadcast(spark, tmp_path):
     cfg = PipelineConfig(size_k=8, window_duration_s=60, seed=42)
     routed, _ = build_routed(tr, cfg, dim_role=dim_role, dim_tool=dim_tool)
     assert "SortMergeJoin" not in _plan_of(routed)
+
+
+def test_corpus_prep_dedup_has_no_join(spark):
+    """corpus_prep's survivor selection must stay a single window over the
+    content hash — a refactor that reintroduces a survivor-table join
+    (broadcast of O(corpus) rows) would not survive 100 TB."""
+    from trace_aware_reservoir_otel_spark.contract import _q_corpus_prep
+
+    plan = _plan_of(_q_corpus_prep(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+    assert "WindowExec" in plan or "Window" in plan
