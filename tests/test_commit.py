@@ -91,35 +91,47 @@ def test_write_sinks_lands_through_snapshot_commit(spark, tmp_path):
     assert metrics.count() == counts["metrics"]
 
 
-def test_fault_between_snapshot_write_and_pointer_swap(spark, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("binding", ["rename", "etag"])
+def test_fault_between_snapshot_write_and_pointer_swap(spark, tmp_path, binding):
     """Inject a committer fault at the pointer swap itself: the snapshot
     data directory is fully written but the commit must NOT be visible —
     readers stay on the previous version; a later healthy commit wins
     with a fresh version number (the dangling dir is invisible garbage
-    collected by expire_snapshots)."""
+    collected by expire_snapshots). Exercised against both the rename(2)
+    binding and the conditional-PUT CAS binding."""
     import pytest
 
     from trace_aware_reservoir_otel_spark import fsutil
     from trace_aware_reservoir_otel_spark.plans import commit
     from tests.test_fsutil import _FaultyCommitter
 
+    inner = (
+        fsutil.LocalRenameCommitter()
+        if binding == "rename"
+        else fsutil.EtagEmulatingCommitter()
+    )
     table = str(tmp_path / "t")
-    commit.commit_write(spark.range(5).toDF("v"), table)
-    assert commit.current_version(table) == 1
-
-    prev = fsutil.set_committer(_FaultyCommitter(fail_at=1))
+    prev = fsutil.set_committer(inner)
     try:
+        commit.commit_write(spark.range(5).toDF("v"), table)
+        assert commit.current_version(table) == 1
+
+        fsutil.set_committer(_FaultyCommitter(fail_at=1, inner=inner))
         with pytest.raises(OSError, match="injected"):
             commit.commit_write(spark.range(99).toDF("v"), table)
+        fsutil.set_committer(inner)
+
+        # reader: previous complete snapshot, not the half-committed one
+        assert commit.current_version(table) == 1
+        assert commit.read_committed(spark, table).count() == 5
+
+        # healthy retry commits past the dangling v2 directory
+        v = commit.commit_write(spark.range(7).toDF("v"), table)
+        assert v == 3 and commit.read_committed(spark, table).count() == 7
+        expired = commit.expire_snapshots(table, keep_last=1)
+        assert 2 in expired  # the dangling snapshot is reclaimed as garbage
     finally:
         fsutil.set_committer(prev)
-
-    # reader: previous complete snapshot, not the half-committed one
-    assert commit.current_version(table) == 1
-    assert commit.read_committed(spark, table).count() == 5
-
-    # healthy retry commits past the dangling v2 directory
-    v = commit.commit_write(spark.range(7).toDF("v"), table)
-    assert v == 3 and commit.read_committed(spark, table).count() == 7
-    expired = commit.expire_snapshots(table, keep_last=1)
-    assert 2 in expired  # the dangling snapshot is reclaimed as garbage

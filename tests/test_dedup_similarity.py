@@ -431,6 +431,71 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path_factory):
     assert "centroid_id" in pf, plan
 
 
+def test_ivf_stale_index_rebuilds_on_corpus_change(spark, tmp_path_factory):
+    """A regenerated corpus at the same index_dir must trigger a rebuild
+    (round-4 verdict #2): the first probe per process validates the index's
+    stored corpus fingerprint against the live df and re-indexes on
+    mismatch — stale candidates can never be served silently."""
+    from trace_aware_reservoir_otel_spark.operators import similarity as sim
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    idx = str(tmp_path_factory.mktemp("ivf_stale")) + "/index"
+    corpus1 = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [1.0, 0.0, 0.0]
+    sim.ann_topk_ivf(corpus1, q, k=5, n_centroids=4, nprobe=2, index_dir=idx).collect()
+    assert commit.current_version(f"{idx}/assign") == 1
+
+    # same index_dir reused within the process: validated once, no rebuild
+    sim._IVF_VALIDATED.discard(idx)
+    sim.ann_topk_ivf(corpus1, q, k=5, n_centroids=4, nprobe=2, index_dir=idx).collect()
+    assert commit.current_version(f"{idx}/assign") == 1
+
+    # "new process" (validation memo cleared) + regenerated corpus with the
+    # SAME row count but different vectors -> fingerprint mismatch -> rebuild
+    corpus2 = spark.createDataFrame(
+        [(i, [float((i + 1) % 5), float(i % 11), 2.0]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    sim._IVF_VALIDATED.discard(idx)
+    got = sim.ann_topk_ivf(
+        corpus2, q, k=5, n_centroids=4, nprobe=2, index_dir=idx
+    ).collect()
+    assert commit.current_version(f"{idx}/assign") == 2
+    want = sim.ann_topk_ivf(corpus2, q, k=5, n_centroids=4, nprobe=2).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivf_skewed_cell_no_forced_broadcast(spark, tmp_path_factory):
+    """One centroid cell owning ~50% of the corpus (real embedding
+    distributions skew) must not force an oversized broadcast: above
+    `broadcast_cap` the candidate semi-join drops the hint and the results
+    are identical either way (round-4 verdict #3)."""
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        ann_topk_ivf_indexed,
+        ivf_index,
+    )
+
+    # half the vectors cluster tightly around [1,0,0]; the rest spread out
+    rows = [(i, [1.0, float(i % 13) * 1e-4, 0.0]) for i in range(100)]
+    rows += [(100 + i, [float(i % 9) - 4.0, float(i % 5), 1.0]) for i in range(100)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path_factory.mktemp("ivf_skew")) + "/index"
+    ivf_index(corpus, idx, n_centroids=6, seed=42)
+    q = [1.0, 0.0, 0.0]
+
+    hinted = ann_topk_ivf_indexed(
+        spark, corpus, idx, q, k=10, nprobe=2, broadcast_cap=1_000_000
+    ).collect()
+    unhinted = ann_topk_ivf_indexed(
+        spark, corpus, idx, q, k=10, nprobe=2, broadcast_cap=0
+    ).collect()
+    assert [tuple(r) for r in hinted] == [tuple(r) for r in unhinted]
+    assert len(hinted) == 10
+
+
 def test_two_phase_cc_matches_propagation_and_handles_deep_chains(spark):
     """Large-star/small-star alternation must produce the identical
     min-of-component labeling as min-label propagation, and converge in

@@ -46,47 +46,130 @@ def test_write_is_atomic_replace(tmp_path):
     assert [r["v"] for r in fsutil.read_jsonl(p)] == [-1]
 
 
-class _FaultyCommitter:
-    """Wraps the real committer; raises at a chosen call index — before
-    the replace takes effect (the crash point the protocol must survive)."""
+class _FaultyCommitter(fsutil.Committer):
+    """Wraps a real committer binding; raises at a chosen call index —
+    before the replace takes effect (the crash point the protocol must
+    survive). `inner` selects WHICH state machine is under fault
+    injection: rename(2) or the conditional-PUT CAS."""
 
-    def __init__(self, fail_at: int):
-        from trace_aware_reservoir_otel_spark.fsutil import LocalRenameCommitter
-
-        self.inner = LocalRenameCommitter()
+    def __init__(self, fail_at: int, inner=None):
+        self.inner = inner or fsutil.LocalRenameCommitter()
         self.calls = 0
         self.fail_at = fail_at
 
-    def replace(self, path, data):
+    def _tick(self):
         self.calls += 1
         if self.calls == self.fail_at:
             raise OSError("injected fault before atomic replace")
+
+    def replace(self, path, data):
+        self._tick()
         self.inner.replace(path, data)
 
+    def replace_with(self, path, transform):
+        self._tick()
+        self.inner.replace_with(path, transform)
 
-def test_fault_during_manifest_replace_leaves_previous_intact(tmp_path):
-    """A crash during the manifest rewrite must leave the COMPLETE
-    previous manifest — the exported-mark / epoch writers depend on this
-    (torn line => undetectable double-export on restart)."""
+
+def _bindings():
     import pytest
 
-    from trace_aware_reservoir_otel_spark import fsutil
+    return pytest.mark.parametrize(
+        "binding",
+        [fsutil.LocalRenameCommitter, fsutil.EtagEmulatingCommitter],
+        ids=["rename", "etag"],
+    )
+
+
+@_bindings()
+def test_fault_during_manifest_replace_leaves_previous_intact(tmp_path, binding):
+    """A crash during the manifest rewrite must leave the COMPLETE
+    previous manifest — the exported-mark / epoch writers depend on this
+    (torn line => undetectable double-export on restart). Runs against
+    BOTH committer state machines (round-4 verdict #5)."""
+    import pytest
 
     p = str(tmp_path / "m.jsonl")
-    fsutil.append_jsonl_atomic(p, [{"bucket": 1, "batch_id": 7}])
-    before = fsutil.read_jsonl(p)
-
-    prev = fsutil.set_committer(_FaultyCommitter(fail_at=1))
+    prev = fsutil.set_committer(_FaultyCommitter(fail_at=2, inner=binding()))
     try:
+        fsutil.append_jsonl_atomic(p, [{"bucket": 1, "batch_id": 7}])
+        before = fsutil.read_jsonl(p)
         with pytest.raises(OSError, match="injected"):
             fsutil.append_jsonl_atomic(p, [{"bucket": 2, "batch_id": 8}])
         assert fsutil.read_jsonl(p) == before  # complete previous manifest
         # retry under a healed committer lands the full new contents
-        fsutil.set_committer(prev)
+        fsutil.set_committer(binding())
         fsutil.append_jsonl_atomic(p, [{"bucket": 2, "batch_id": 8}])
         assert fsutil.read_jsonl(p) == before + [{"bucket": 2, "batch_id": 8}]
     finally:
         fsutil.set_committer(prev)
+
+
+@_bindings()
+def test_manifest_protocol_under_each_binding(tmp_path, binding):
+    """append/upsert semantics are binding-independent."""
+    p = str(tmp_path / "m.jsonl")
+    prev = fsutil.set_committer(binding())
+    try:
+        fsutil.append_jsonl_atomic(p, [{"a": 1}])
+        fsutil.append_jsonl_atomic(p, [{"a": 2}])
+        fsutil.upsert_jsonl_atomic(p, {"a": 1, "n": 9}, ("a",))
+        recs = fsutil.read_jsonl(p)
+        assert recs == [{"a": 2}, {"a": 1, "n": 9}]
+        fsutil.write_jsonl_atomic(p, [{"a": 0}])
+        assert fsutil.read_jsonl(p) == [{"a": 0}]
+    finally:
+        fsutil.set_committer(prev)
+
+
+def test_etag_interleaved_writer_retries_whole_cycle(tmp_path):
+    """The conditional-PUT machine's whole point: a second writer
+    committing between this writer's read and its PUT fails the
+    precondition, and the retry re-runs the read-modify-write over the
+    fresh contents — BOTH updates survive (no lost update)."""
+    p = str(tmp_path / "m.jsonl")
+    writer_a = fsutil.EtagEmulatingCommitter()
+    writer_b = fsutil.EtagEmulatingCommitter()
+    interleaved = {"n": 0}
+
+    def append_a(cur):
+        if interleaved["n"] == 0:
+            interleaved["n"] += 1
+            writer_b.replace_with(
+                p,
+                lambda c: fsutil._serialize_jsonl(
+                    fsutil._parse_jsonl(c) + [{"w": "B"}]
+                ),
+            )
+        return fsutil._serialize_jsonl(fsutil._parse_jsonl(cur) + [{"w": "A"}])
+
+    writer_a.replace_with(p, append_a)
+    assert fsutil.read_jsonl(p) == [{"w": "B"}, {"w": "A"}]
+
+
+def test_etag_precondition_and_retry_exhaustion(tmp_path):
+    import pytest
+
+    p = str(tmp_path / "obj")
+    c = fsutil.EtagEmulatingCommitter()
+    # create-only semantics: etag None means "must not exist"
+    assert c._put_if_match(p, b"v1", None) is True
+    assert c._put_if_match(p, b"v2", None) is False  # already exists
+    _, etag = c._get(p)
+    assert c._put_if_match(p, b"v2", etag) is True
+    assert c._get(p)[0] == b"v2"
+    assert c._put_if_match(p, b"v3", etag) is False  # stale tag
+
+    # a pathologically contended path exhausts retries loudly, never
+    # silently drops an update
+    hostile = fsutil.EtagEmulatingCommitter()
+
+    def always_contend(cur):
+        c.replace_with(p, lambda cc: (cc or b"") + b"x")
+        return b"mine"
+
+    with pytest.raises(OSError, match="contended"):
+        hostile.replace_with(p, always_contend)
 
 
 def test_conditional_put_committer_is_an_honest_stub():

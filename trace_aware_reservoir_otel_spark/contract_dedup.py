@@ -532,16 +532,40 @@ def oracle_ivf_assign() -> str:
     )
 
 
+def _source_stat(path: str) -> str:
+    """Cheap file-level fingerprint of a parquet source (total bytes +
+    newest mtime, file or directory layout) — no data scan. Folded into
+    the index cache key so a regenerated corpus at the same path gets a
+    fresh index location instead of silently reusing a stale one."""
+    import os
+
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    total, latest = 0, 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            st = os.stat(os.path.join(root, fn))
+            total += st.st_size
+            latest = max(latest, st.st_mtime_ns)
+    return f"{total}:{latest}"
+
+
 def _ivf_index_dir(sf_dir: str) -> str:
     """Deterministic scratch location for the materialized IVF index of a
     given corpus+knobs (rebuilt only when absent — the amortized-index
     usage the inverted file exists for; the commit protocol makes a
-    concurrent rebuild invisible to readers)."""
+    concurrent rebuild invisible to readers). The key carries BOTH the
+    path+knobs and a size+mtime fingerprint of the source file (stale-key
+    defense, round-4 ADVICE #1); the operator itself additionally
+    content-validates via `corpus_fingerprint` on first probe per process,
+    so even an mtime-preserving rewrite cannot serve stale candidates."""
     import hashlib
     import tempfile
 
     key = hashlib.md5(
-        f"{sf_dir}:{IVF_CENTROIDS}:{SEED}".encode()
+        f"{sf_dir}:{IVF_CENTROIDS}:{SEED}:"
+        f"{_source_stat(f'{sf_dir}/embeddings.parquet')}".encode()
     ).hexdigest()[:12]
     return f"{tempfile.gettempdir()}/taro_ivf_index_{key}"
 

@@ -19,7 +19,7 @@ complete next contents, never a torn state". Two bindings:
    the reference's single-process Badger instance.
  - `ConditionalPutCommitter` (documented object-store binding): on
    S3/GCS the same protocol is a conditional PUT of the manifest object —
-   `If-Match: <etag>` (S3) / `x-goods-if-generation-match` (GCS) against
+   `If-Match: <etag>` (S3) / `x-goog-if-generation-match` (GCS) against
    the version read at the start of the read-modify-write, retrying the
    whole cycle on precondition failure. That also gives MULTI-writer
    safety (lost updates become retries) which the rename binding does not
@@ -46,10 +46,25 @@ import uuid
 class Committer:
     """Atomic-replace primitive: `replace(path, data)` must leave `path`
     holding either its complete previous contents or exactly `data`,
-    under a crash at any point — never a torn intermediate."""
+    under a crash at any point — never a torn intermediate.
+
+    `replace_with(path, transform)` is the read-modify-write form the
+    manifest append/upsert writers use: `transform` maps the current
+    contents (bytes, or None if absent) to the new contents. The base
+    implementation is single-writer (read once, blind replace); the
+    conditional-PUT binding overrides it to retry the WHOLE cycle on a
+    concurrent writer's interleaved commit, which is what turns lost
+    updates into retries."""
 
     def replace(self, path: str, data: bytes) -> None:
         raise NotImplementedError
+
+    def replace_with(self, path: str, transform) -> None:
+        cur = None
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                cur = f.read()
+        self.replace(path, transform(cur))
 
 
 class LocalRenameCommitter(Committer):
@@ -66,20 +81,121 @@ class LocalRenameCommitter(Committer):
 
 
 class ConditionalPutCommitter(Committer):
-    """Object-store binding (S3/GCS): read the object's version tag,
-    rebuild the manifest, PUT with if-match on that tag, retry the whole
-    read-modify-write on precondition failure. Extends the single-writer
-    guarantee to multiple writers. Stub: no object store (or its SDK)
-    exists in this container."""
+    """Object-store binding (S3/GCS): read the object and its version tag,
+    rebuild the manifest, PUT with if-match on that tag — `If-Match:
+    <etag>` (S3) / `x-goog-if-generation-match` (GCS); `<etag> is None`
+    maps to if-none-match/generation-match-0 (create-only) — and retry the
+    whole read-modify-write on precondition failure. Extends the
+    single-writer guarantee to multiple writers: an interleaved commit
+    turns a lost update into a retry over the fresh contents.
+
+    The CAS state machine lives HERE; subclasses bind only the two store
+    primitives `_get` / `_put_if_match`. `EtagEmulatingCommitter` binds
+    them to a local directory (generation counter under a file lock) so
+    the fault suite exercises this exact machine; the S3/GCS binding is a
+    `_get`/`_put_if_match` pair over boto3 / google-cloud-storage — no
+    object-store SDK ships in this container, so those raise here."""
+
+    max_retries = 16
 
     def __init__(self, bucket: str):
         self.bucket = bucket
 
-    def replace(self, path: str, data: bytes) -> None:
+    # --- store primitives (bind per backend) -------------------------------
+    def _get(self, path: str) -> "tuple[bytes | None, object]":
+        """Current contents + version tag (None contents if absent)."""
         raise NotImplementedError(
             "conditional-PUT committer requires an object-store SDK; "
             "bind boto3/google-cloud-storage here in a real deployment"
         )
+
+    def _put_if_match(self, path: str, data: bytes, etag: object) -> bool:
+        """Atomically replace iff the object's tag still equals `etag`
+        (etag None = object must not exist). False on precondition fail."""
+        raise NotImplementedError(
+            "conditional-PUT committer requires an object-store SDK; "
+            "bind boto3/google-cloud-storage here in a real deployment"
+        )
+
+    # --- protocol -----------------------------------------------------------
+    def replace(self, path: str, data: bytes) -> None:
+        # blind replace (pointer-swap semantics): last committed PUT wins,
+        # but each attempt is still CAS'd so a torn state is impossible
+        for _ in range(self.max_retries):
+            _, etag = self._get(path)
+            if self._put_if_match(path, data, etag):
+                return
+        raise OSError(f"conditional PUT contended beyond retries: {path}")
+
+    def replace_with(self, path: str, transform) -> None:
+        for _ in range(self.max_retries):
+            cur, etag = self._get(path)
+            if self._put_if_match(path, transform(cur), etag):
+                return
+        raise OSError(f"conditional PUT contended beyond retries: {path}")
+
+
+class EtagEmulatingCommitter(ConditionalPutCommitter):
+    """Local binding of the conditional-PUT state machine: objects live as
+    files, the version tag is a generation counter in a sidecar file, and
+    the get-generation/compare/replace step is serialized by flock(2) —
+    i.e. the atomicity S3/GCS give a conditional PUT, emulated locally so
+    fault-injection tests run against the REAL CAS protocol (round-4
+    verdict #5). Multi-process safe on one host."""
+
+    def __init__(self, bucket: str = "local"):
+        super().__init__(bucket)
+
+    def _gen_path(self, path: str) -> str:
+        return f"{path}.gen"
+
+    def _lock_path(self, path: str) -> str:
+        return f"{path}.lock"
+
+    def _read_gen(self, path: str) -> int:
+        try:
+            with open(self._gen_path(path)) as f:
+                return int(f.read().strip() or 0)
+        except FileNotFoundError:
+            return 0
+
+    def _get(self, path: str) -> "tuple[bytes | None, object]":
+        import fcntl
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(self._lock_path(path), "a+") as lock:
+            fcntl.flock(lock, fcntl.LOCK_SH)
+            gen = self._read_gen(path)
+            if gen == 0 or not os.path.exists(path):
+                return None, None
+            with open(path, "rb") as f:
+                return f.read(), gen
+
+    def _put_if_match(self, path: str, data: bytes, etag: object) -> bool:
+        import fcntl
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(self._lock_path(path), "a+") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            gen = self._read_gen(path)
+            cur = gen if (gen and os.path.exists(path)) else None
+            if cur != etag:
+                return False  # precondition failed — caller retries
+            # object write + generation bump, both via atomic rename so a
+            # crash at any point leaves a complete (data, gen) pair
+            tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+            gtmp = f"{self._gen_path(path)}.tmp.{uuid.uuid4().hex}"
+            with open(gtmp, "w") as f:
+                f.write(str((etag or 0) + 1))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(gtmp, self._gen_path(path))
+            return True
 
 
 _DEFAULT_COMMITTER: Committer = LocalRenameCommitter()
@@ -98,6 +214,16 @@ def set_committer(committer: Committer) -> Committer:
     return prev
 
 
+def _parse_jsonl(data: "bytes | None") -> "list[dict]":
+    if not data:
+        return []
+    return [json.loads(line) for line in data.decode().splitlines() if line.strip()]
+
+
+def _serialize_jsonl(records: "list[dict]") -> bytes:
+    return "".join(json.dumps(rec) + "\n" for rec in records).encode()
+
+
 def read_jsonl(path: str) -> "list[dict]":
     if not os.path.exists(path):
         return []
@@ -106,28 +232,37 @@ def read_jsonl(path: str) -> "list[dict]":
 
 
 def write_jsonl_atomic(path: str, records: "list[dict]") -> None:
-    """Replace `path` with `records`, atomically (via the Committer)."""
-    data = "".join(json.dumps(rec) + "\n" for rec in records).encode()
-    get_committer().replace(path, data)
+    """Replace `path` with `records`, atomically (via the Committer).
+    Blind replace by design — pointer-swap/compaction semantics where the
+    caller intends last-writer-wins."""
+    get_committer().replace(path, _serialize_jsonl(records))
 
 
 def append_jsonl_atomic(path: str, new_records: "list[dict]") -> None:
-    """Append records via read + whole-file atomic replace (never an
-    in-place append, so a crash mid-call leaves the previous manifest
-    intact and complete)."""
-    write_jsonl_atomic(path, read_jsonl(path) + list(new_records))
+    """Append records as an atomic read-modify-write (`replace_with`) —
+    never an in-place append, so a crash mid-call leaves the previous
+    manifest intact and complete; under the conditional-PUT binding an
+    interleaved writer's commit retries this append over the fresh
+    contents instead of losing either update."""
+    get_committer().replace_with(
+        path, lambda cur: _serialize_jsonl(_parse_jsonl(cur) + list(new_records))
+    )
 
 
 def upsert_jsonl_atomic(path: str, rec: dict, key_fields: "tuple[str, ...]") -> None:
     """Replace-or-append by key — an at-least-once writer (micro-batch
     replay, flush re-run) rewrites its own record instead of duplicating
-    it, keeping sum-over-records semantics exactly-once."""
+    it, keeping sum-over-records semantics exactly-once. Read-modify-write
+    via `replace_with`, same multi-writer story as append."""
 
     def key(r: dict):
         return tuple(_norm_key(r.get(k)) for k in key_fields)
 
-    kept = [r for r in read_jsonl(path) if key(r) != key(rec)]
-    write_jsonl_atomic(path, kept + [rec])
+    def xform(cur: "bytes | None") -> bytes:
+        kept = [r for r in _parse_jsonl(cur) if key(r) != key(rec)]
+        return _serialize_jsonl(kept + [rec])
+
+    get_committer().replace_with(path, xform)
 
 
 def _norm_key(v):
