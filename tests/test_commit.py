@@ -135,3 +135,27 @@ def test_fault_between_snapshot_write_and_pointer_swap(spark, tmp_path, binding)
         assert 2 in expired  # the dangling snapshot is reclaimed as garbage
     finally:
         fsutil.set_committer(prev)
+
+
+def test_commit_append_delta_chain(spark, tmp_path):
+    """commit_append adds an immutable delta dir: readers see the union,
+    previous dirs are never rewritten, expire keeps every dir the current
+    append-chain pointer references, and a later full commit_write
+    supersedes the chain (making the deltas expirable)."""
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    table = str(tmp_path / "t")
+    commit.commit_write(spark.range(5).toDF("v"), table)
+    v = commit.commit_append(spark.range(100, 103).toDF("v"), table)
+    assert v == 2
+    got = sorted(r["v"] for r in commit.read_committed(spark, table).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102]
+    # both dirs are live under the chain pointer: nothing expires
+    assert commit.expire_snapshots(table, keep_last=1) == []
+    assert sorted(r["v"] for r in commit.read_committed(spark, table).collect()) == got
+
+    # a full rewrite supersedes the chain; the old dirs become garbage
+    commit.commit_write(spark.range(7).toDF("v"), table)
+    assert commit.read_committed(spark, table).count() == 7
+    expired = commit.expire_snapshots(table, keep_last=1)
+    assert set(expired) == {1, 2}

@@ -63,10 +63,31 @@ def tokens_col(text_col: str = "text") -> Column:
     )
 
 
+def scale_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism —
+    ONLY when the input has fewer partitions than cores.
+
+    Why: CPU-amplifying operators (shingle explode + per-shingle hashing
+    multiply work ~50x per input byte) are often fed by a byte-packed
+    parquet scan that maxPartitionBytes splits into just 1-2 partitions,
+    so the whole pipeline runs on 2 of N cores (measured at sf0.1:
+    minhash_lsh_pairs 6.1s -> 1.8s from exactly this). At real scale the
+    scan already exceeds the core count and this is a no-op — the guard
+    makes it safe to leave in the operator unconditionally."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", out_col: str = "shingles"
 ) -> DataFrame:
-    """Distinct word n-grams per document (empty array if < n tokens)."""
+    """Distinct word n-grams per document (empty array if < n tokens).
+    Scales the input out to full parallelism first — every consumer
+    (minhash, jaccard, simhash) amplifies CPU ~50x per input byte."""
+    df = scale_out(df)
     toks = tokens_col(text_col)
     count = F.size(toks) - (n - 1)
     sh = F.when(count <= 0, F.array().cast("array<string>")).otherwise(
@@ -192,11 +213,26 @@ def ngram_jaccard_pairs(
     `broadcast_candidates=False` switches the candidate restriction to a
     shuffle join — required when the candidate pair set exceeds broadcast
     limits (e.g. LSH output over a web-scale corpus)."""
+    # explode_outer + isNotNull, NOT plain explode: explode's implicit
+    # `size(shingles) > 0` filter gets pushed below scale_out's repartition
+    # exchange, re-evaluating the whole shingle expression on the
+    # unparallelized scan side (measured 7x at sf0.1). The isNotNull filter
+    # sits on the GENERATED column, which cannot be pushed past the
+    # Generate. No .distinct(): with_shingles already array_distincts per
+    # doc, so (id, sh) rows are unique by construction — a distinct here
+    # is a pure-waste extra shuffle.
     sh = (
         with_shingles(df, n, text_col)
-        .select(id_col, F.explode("shingles").alias("sh"))
-        .distinct()
+        .select(id_col, F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
     )
+    # `sh` feeds FOUR consumers (df-cap, sizes, both self-join sides) and
+    # Catalyst does not reuse the exchange across them — without a
+    # materialization the tokenize+shingle work runs 4x (measured). Lazy
+    # localCheckpoint computes it once into executor block storage
+    # (spillable; O(corpus shingles), the same order as the join input
+    # itself), exactly the CC-edge-list pattern in connected_components.
+    sh = sh.localCheckpoint(eager=False)
     if max_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -248,7 +284,9 @@ def simhash(
     bit b of simhash = 1 iff sum over tokens of (+1 if bit b of
     hash(token) else -1) > 0. Computed as one explode + one groupBy with
     `bits` conditional sums (no per-bit passes)."""
-    toks = df.select(id_col, F.explode_outer(tokens_col(text_col)).alias("tok"))
+    toks = scale_out(df).select(
+        id_col, F.explode_outer(tokens_col(text_col)).alias("tok")
+    )
     h = _hash64(F.col("tok"), "simhash", portable, seed)
     per = toks.select(
         id_col,

@@ -90,13 +90,68 @@ def commit_write(
     return version
 
 
+def commit_append(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: "list[str] | None" = None,
+) -> int:
+    """Append df as a new immutable DELTA directory: the next version's
+    data is (previous snapshot's dirs + the new dir), recorded in the
+    pointer as an explicit dir list — Iceberg's append-snapshot analog.
+    Readers before the swap see the old dir set; after, the full set.
+    Previously committed dirs are never rewritten, so appending N batches
+    costs O(batch) each, not O(table) — the difference between an
+    incremental index refresh and a rebuild. Returns the new version."""
+    prev_dirs = _current_dirs(table_dir)
+    existing = [
+        int(d[1:])
+        for d in (
+            os.listdir(os.path.join(table_dir, _VERSIONS))
+            if os.path.isdir(os.path.join(table_dir, _VERSIONS))
+            else []
+        )
+        if d.startswith("v")
+    ]
+    version = max(existing, default=0) + 1
+    vdir = _version_dir(table_dir, version)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(vdir)
+    fsutil.write_jsonl_atomic(
+        _pointer_path(table_dir),
+        [{"version": version, "dirs": prev_dirs + [vdir]}],
+    )
+    return version
+
+
+def _current_dirs(table_dir: str) -> "list[str]":
+    """Data directories of the current snapshot ([] if none). Handles both
+    pointer shapes: single-dir ('dir') and append-chain ('dirs')."""
+    recs = fsutil.read_jsonl(_pointer_path(table_dir))
+    if not recs:
+        return []
+    rec = recs[-1]
+    return list(rec["dirs"]) if "dirs" in rec else [rec["dir"]]
+
+
 def read_committed(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read the table's current committed snapshot. Falls back to a plain
-    directory read when no pointer exists (pre-shim layout)."""
-    version = current_version(table_dir)
-    if version is None:
+    """Read the table's current committed snapshot (single dir or an
+    append chain of delta dirs). Falls back to a plain directory read when
+    no pointer exists (pre-shim layout). Chain dirs are read separately
+    and unioned — each keeps its own hive-partition discovery, and filter
+    pushdown (incl. partition pruning) passes through a union, so a
+    probe's PartitionFilters reach every delta."""
+    from functools import reduce
+
+    dirs = _current_dirs(table_dir)
+    if not dirs:
         return spark.read.parquet(table_dir)
-    return spark.read.parquet(_version_dir(table_dir, version))
+    if len(dirs) == 1:
+        return spark.read.parquet(dirs[0])
+    return reduce(
+        lambda a, b: a.unionByName(b), (spark.read.parquet(d) for d in dirs)
+    )
 
 
 def snapshots(table_dir: str) -> "list[dict]":
@@ -114,11 +169,17 @@ def snapshots(table_dir: str) -> "list[dict]":
 
 def expire_snapshots(table_dir: str, keep_last: int = 1) -> "list[int]":
     """Delete all but the newest `keep_last` non-current snapshots (the
-    current one is always kept). Returns the expired version numbers —
-    the compaction/GC analog (checkpoint.go:377-417)."""
+    current one is always kept, including EVERY delta dir an append-chain
+    pointer references). Returns the expired version numbers — the
+    compaction/GC analog (checkpoint.go:377-417)."""
     cur = current_version(table_dir)
+    referenced = {
+        int(os.path.basename(d)[1:]) for d in _current_dirs(table_dir)
+    }
     versions = sorted(s["version"] for s in snapshots(table_dir))
-    keep = set(versions[-keep_last:]) | ({cur} if cur is not None else set())
+    keep = set(versions[-keep_last:]) | referenced | (
+        {cur} if cur is not None else set()
+    )
     expired = []
     for v in versions:
         if v not in keep:

@@ -645,6 +645,14 @@ def _revacuum_done(state_dir: str, done: "dict") -> None:
     marked = {str(int(b)): bid for b, bid in done.items() if bid is not None}
     if not marked:
         return
+    # Cost discipline (round-4 ADVICE): this runs on every roll, so it must
+    # be O(open on-disk state), never O(all marks ever). Iterate the leafs
+    # that actually exist in each (bounded, pruned) open batch dir and look
+    # each up in the mark map — not the mark map against every batch dir.
+    # Common case (no replay happened): every open batch dir is newer than
+    # every mark, and the max-mark guard skips the listdir walk entirely.
+    max_mark = max(marked.values())
+    pruned = False
     for sub in ("spill", "pre"):
         root = os.path.join(state_dir, sub)
         if not os.path.isdir(root):
@@ -653,12 +661,17 @@ def _revacuum_done(state_dir: str, done: "dict") -> None:
             if not bdir.startswith("batch_id="):
                 continue
             k = int(bdir.split("=", 1)[1])
-            for key, bid in marked.items():
-                if k <= bid:
-                    leaf = os.path.join(root, bdir, f"window_bucket={key}")
-                    if os.path.isdir(leaf):
-                        shutil.rmtree(leaf)
-    _prune_empty_batch_dirs(state_dir)
+            if k > max_mark:
+                continue  # written after every mark: cannot be a replay leak
+            for entry in os.listdir(os.path.join(root, bdir)):
+                if not entry.startswith("window_bucket="):
+                    continue
+                bid = marked.get(entry.split("=", 1)[1])
+                if bid is not None and k <= bid:
+                    shutil.rmtree(os.path.join(root, bdir, entry))
+                    pruned = True
+    if pruned:
+        _prune_empty_batch_dirs(state_dir)
 
 
 def _route_buckets(
