@@ -177,3 +177,44 @@ def test_corpus_prep_dedup_has_no_join(spark):
     plan = _plan_of(_q_corpus_prep(spark, "/root/testdata/sf0.001"))
     assert "Join" not in plan, plan
     assert "WindowExec" in plan or "Window" in plan
+
+
+def test_decontaminate_bench_join_stays_broadcast(spark):
+    """The benchmark gram set is fixed-size (eval suites don't grow with
+    the corpus): its join against the exploded train grams must be a
+    BroadcastHashJoin — a sort-merge join here would shuffle the full
+    corpus-gram stream at 100 TB."""
+    from trace_aware_reservoir_otel_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(i, f"doc {i} alpha beta gamma delta epsilon zeta") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan_of(decontaminate(train, bench, n=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # groupBy(doc_id) count aggregation must have a map-side partial pass
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_repetition_features_single_scan_no_join(spark):
+    """repetition_features covers every n in ONE pass: exactly one
+    explode of the input (no per-n re-read), hash aggregation (map-side
+    partial pass collapses duplicate grams before the shuffle), and NO
+    join of any kind — the gn=0 sentinel row replaces the doc-id
+    re-join a naive zeros-fill would need (both sides O(docs))."""
+    from trace_aware_reservoir_otel_spark.functions.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a b c a b") for i in range(20)], "doc_id long, text string"
+    )
+    plan = _plan_of(repetition_features(docs))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert len(re.findall(r"Generate \(\d+\)", plan)) == 1, (
+        "n-gram explode must appear exactly once in the plan tree"
+    )

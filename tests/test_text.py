@@ -83,3 +83,67 @@ def test_doc_fingerprint_deterministic_and_content_keyed(spark):
     fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df).collect()}
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
+
+
+def test_repetition_features_flags_repetitious_docs(spark):
+    from trace_aware_reservoir_otel_spark.functions.text import repetition_features
+
+    rows = [
+        # 10x "spam": top bigram "spam spam" covers ALL 9 bigrams -> flagged
+        (0, " ".join(["spam"] * 10)),
+        # varied text: every bigram unique -> clean
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        # "ab ab ab ab cd": dup trigram "ab ab ab" (2 of 3) -> flagged
+        (2, "ab ab ab ab cd"),
+        # too short for any bigram: zeros, clean
+        (3, "solo"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_features(df).collect()}
+    assert len(got) == 5  # short/empty docs survive with zero counts
+
+    assert got[0]["n_2grams"] == 9 and got[0]["top_2gram_count"] == 9
+    assert got[0]["distinct_2grams"] == 1 and got[0]["repetitive"] == 1
+
+    assert got[1]["n_2grams"] == 9 and got[1]["distinct_2grams"] == 9
+    assert got[1]["top_2gram_count"] == 1 and got[1]["repetitive"] == 0
+
+    assert got[2]["n_3grams"] == 3 and got[2]["distinct_3grams"] == 2
+    assert got[2]["repetitive"] == 1
+
+    for d in (3, 4):
+        assert got[d]["n_2grams"] == 0 and got[d]["n_3grams"] == 0
+        assert got[d]["repetitive"] == 0
+
+
+def test_decontaminate_counts_and_broadcast_fallback(spark):
+    from trace_aware_reservoir_otel_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains bench 5-grams verbatim (2 distinct shared grams)
+            (0, "x alpha beta gamma delta epsilon zeta y"),
+            # clean doc: no overlap
+            (1, "one two three four five six seven"),
+            # exact copy of the bench doc (both its 5-grams shared)
+            (2, "alpha beta gamma delta epsilon zeta"),
+            # too short for any 5-gram
+            (3, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_shared"])
+           for r in decontaminate(train, bench, n=5).collect()}
+    assert set(got) == {0, 2}  # only contaminated docs are reported
+    assert got[0] == (4, 2)    # 4 distinct 5-grams, 2 appear in bench
+    assert got[2] == (2, 2)
+
+    shuffled = {r["doc_id"]: (r["n_grams"], r["n_shared"])
+                for r in decontaminate(
+                    train, bench, n=5, broadcast_bench=False).collect()}
+    assert shuffled == got

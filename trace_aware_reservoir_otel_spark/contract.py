@@ -678,20 +678,24 @@ def _driver_rotation_order(names: "list[str]") -> "list[str]":
 
 def contract_queries() -> "dict[str, Callable[[SparkSession, str], DataFrame]]":
     from trace_aware_reservoir_otel_spark.contract_dedup import DEDUP_QUERIES
+    from trace_aware_reservoir_otel_spark.contract_quality import QUALITY_QUERIES
 
     out = {name: _mk_query(b) for name, b in QUERY_BUILDERS.items()}
     out.update(_library_queries())
     out.update(DEDUP_QUERIES)
+    out.update(QUALITY_QUERIES)
     order = _driver_rotation_order(list(out))
     return {name: out[name] for name in order}
 
 
 def contract_oracles() -> "dict[str, str]":
     from trace_aware_reservoir_otel_spark.contract_dedup import dedup_oracles
+    from trace_aware_reservoir_otel_spark.contract_quality import quality_oracles
 
     out = {name: b(DUCK) for name, b in QUERY_BUILDERS.items()}
     out.update(_library_oracles())
     out.update(dedup_oracles())
+    out.update(quality_oracles())
     return out
 
 

@@ -1,0 +1,173 @@
+"""Contract queries for corpus-quality / decontamination operators, with
+generated DuckDB oracle SQL.
+
+Two training-data-pipeline operators beyond the dedup family:
+
+- ``repetition_stats``: Gopher-style repetition rules (top-bigram count
+  fraction, duplicate-trigram count fraction) via
+  ``functions.text.repetition_features`` — the quality gate that drops
+  boilerplate/templated documents before training.
+- ``benchmark_decontaminate``: train/test-overlap scrub via
+  ``operators.dedup.decontaminate`` — flags training docs sharing any
+  word n-gram with a held-out benchmark set. The benchmark here is a
+  deterministic slice of the documents table (doc_id % 10 == 0); the
+  train side additionally carries perturbed copies of the benchmark docs
+  (first token replaced, id+2_000_000) so contamination is non-trivial at
+  every scale factor — the same fixture pattern as contract_dedup's
+  near-dup copies.
+
+All integer arithmetic (counts, 0/1 flags) so the oracle agrees exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from trace_aware_reservoir_otel_spark.functions.text import (
+    REP_DUP_TRIGRAM_PCT,
+    REP_TOP_BIGRAM_PCT,
+)
+
+DECON_N = 5  # word n-gram size for the overlap scrub (13 in prod recipes)
+
+
+# --- repetition_stats ---------------------------------------------------------
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.functions.text import repetition_features
+    from trace_aware_reservoir_otel_spark.operators.dedup import scale_out
+
+    docs = scale_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return repetition_features(docs, grams=(2, 3))
+
+
+def _rep_gram_branch(n: int) -> str:
+    n1 = n - 1
+    return (
+        f"select doc_id, {n} as gn, array_to_string(tk[i:i+{n1}], ' ') as g\n"
+        "      from toks cross join unnest(range(1, "
+        f"greatest(len(tk) - {n1}, 0) + 1)) as t(i)"
+    )
+
+
+def oracle_repetition_stats() -> str:
+    wide_cols = ",\n             ".join(
+        f"max(case when gn = {n} then {src} end) as {out}"
+        for n in (2, 3)
+        for src, out in (
+            ("n_grams", f"n_{n}grams"),
+            ("n_distinct", f"distinct_{n}grams"),
+            ("top_count", f"top_{n}gram_count"),
+        )
+    )
+    final_cols = ",\n           ".join(
+        f"cast(coalesce({c}, 0) as bigint) as {c}"
+        for n in (2, 3)
+        for c in (f"n_{n}grams", f"distinct_{n}grams", f"top_{n}gram_count")
+    )
+    flag = (
+        f"(coalesce(top_2gram_count, 0) * 100 > "
+        f"{REP_TOP_BIGRAM_PCT} * coalesce(n_2grams, 0))\n"
+        "            or ((coalesce(n_3grams, 0) - coalesce(distinct_3grams, 0)) "
+        f"* 100 > {REP_DUP_TRIGRAM_PCT} * coalesce(n_3grams, 0))"
+    )
+    return f"""
+    with toks as (
+      select doc_id, regexp_split_to_array(trim(text), '\\s+') as tk
+      from documents
+    ),
+    grams as (
+      {_rep_gram_branch(2)}
+      union all
+      {_rep_gram_branch(3)}
+    ),
+    cnt as (
+      select doc_id, gn, g, count(*) as c from grams group by doc_id, gn, g
+    ),
+    stats as (
+      select doc_id, gn, sum(c) as n_grams, count(*) as n_distinct,
+             max(c) as top_count
+      from cnt group by doc_id, gn
+    ),
+    wide as (
+      select doc_id,
+             {wide_cols}
+      from stats group by doc_id
+    )
+    select d.doc_id,
+           {final_cols},
+           cast(({flag}) as bigint) as repetitive
+    from (select doc_id from documents) d
+    left join wide using (doc_id)
+    """
+
+
+# --- benchmark_decontaminate --------------------------------------------------
+
+def _bench_train(spark: SparkSession, sf_dir: str) -> "tuple[DataFrame, DataFrame]":
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    leaked = bench.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "xyzzy").alias("text"),
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 0).unionByName(leaked)
+    return bench, train
+
+
+def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trace_aware_reservoir_otel_spark.operators.dedup import decontaminate
+
+    bench, train = _bench_train(spark, sf_dir)
+    return decontaminate(train, bench, n=DECON_N)
+
+
+def _decon_shingles(src: str, with_id: bool) -> str:
+    n1 = DECON_N - 1
+    id_sel = "doc_id, " if with_id else ""
+    return (
+        f"select distinct {id_sel}array_to_string(tk[i:i+{n1}], ' ') as sh\n"
+        f"      from (select doc_id, regexp_split_to_array(trim(text), '\\s+') as tk\n"
+        f"            from {src} where length(trim(text)) > 0) tt\n"
+        f"      cross join unnest(range(1, greatest(len(tk) - {n1}, 0) + 1)) as t(i)"
+    )
+
+
+def oracle_benchmark_decontaminate() -> str:
+    return f"""
+    with bench as (
+      select doc_id, text from documents where doc_id % 10 = 0
+    ),
+    train as (
+      select doc_id, text from documents where doc_id % 10 <> 0
+      union all
+      select doc_id + 2000000 as doc_id,
+             regexp_replace(text, '^\\S+', 'xyzzy') as text
+      from documents where doc_id % 10 = 0
+    ),
+    bsh as (
+      {_decon_shingles('bench', with_id=False)}
+    ),
+    tsh as (
+      {_decon_shingles('train', with_id=True)}
+    )
+    select t.doc_id,
+           cast(count(*) as bigint) as n_grams,
+           cast(count(b.sh) as bigint) as n_shared
+    from tsh t left join bsh b using (sh)
+    group by t.doc_id
+    having count(b.sh) > 0
+    """
+
+
+QUALITY_QUERIES = {
+    "repetition_stats": q_repetition_stats,
+    "benchmark_decontaminate": q_benchmark_decontaminate,
+}
+
+
+def quality_oracles() -> "dict[str, str]":
+    return {
+        "repetition_stats": oracle_repetition_stats(),
+        "benchmark_decontaminate": oracle_benchmark_decontaminate(),
+    }

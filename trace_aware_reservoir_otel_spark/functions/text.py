@@ -124,3 +124,94 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pattern)).cast("long")
         )
     return out
+
+
+# --- repetition / boilerplate quality (Gopher-style rules) --------------------
+
+# Count-fraction analogs of the Gopher repetition thresholds (the published
+# rules use character fractions; counts keep the whole computation in exact
+# integer arithmetic so the DuckDB oracle agrees bit-for-bit):
+#   top 2-gram fraction  > 0.20  ->  top_2gram_count * 100 > 20 * n_2grams
+#   dup 3-gram fraction  > 0.18  ->  (n_3grams - distinct_3grams) * 100
+#                                        > 18 * n_3grams
+REP_TOP_BIGRAM_PCT = 20
+REP_DUP_TRIGRAM_PCT = 18
+
+
+def _ngram_arr(toks: Column, n: int) -> Column:
+    """All word n-grams (with multiplicity — unlike dedup's shingles,
+    repetition stats NEED duplicate grams); empty array below n tokens."""
+    count = F.size(toks) - (n - 1)
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grams: "tuple[int, ...]" = (2, 3),
+) -> DataFrame:
+    """Per-document repetition statistics for corpus quality filtering —
+    the Gopher-style "repetitious document" rules over word n-grams:
+    total / distinct / top-frequency counts per n, plus a `repetitive`
+    0/1 flag from the integer thresholds above.
+
+    Shape at scale: ONE tagged explode covers every n in `grams` in a
+    single pass over the text (no per-n re-scan), then a cascade of
+    aggregations — (id, n, gram) -> (id, n) -> id — each with map-side
+    partial aggregation, so the post-shuffle volume collapses to
+    O(distinct grams), then O(docs * len(grams)), then O(docs). NO join
+    anywhere: docs too short for any n-gram survive via a sentinel row
+    (gn=0) emitted in the same explode — a doc-id join here would be a
+    sort-merge of two O(docs) sides at 100 TB, strictly worse than one
+    extra exploded row per doc."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    # NB: a one-parameter lambda, built by a closure helper — a default-arg
+    # capture (`lambda g, n=n:`) reads as two-parameter to F.transform,
+    # which then passes the ARRAY INDEX as the second argument.
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("gn"), g.alias("g"))
+
+    # gn=0 sentinel: guarantees one exploded row per doc, so zero-gram docs
+    # flow through the aggregation cascade instead of needing a join back
+    tagged = F.concat(
+        F.array(F.struct(F.lit(0).alias("gn"), F.lit("").alias("g"))),
+        *[F.transform(_ngram_arr(toks, n), _tag(n)) for n in grams],
+    )
+    ex = df.select(F.col(id_col), F.explode(tagged).alias("s")).select(
+        id_col, "s.gn", "s.g"
+    )
+    cnt = ex.groupBy(id_col, "gn", "g").agg(F.count("*").alias("c"))
+    stats = cnt.groupBy(id_col, "gn").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    cols = []
+    for n in grams:
+        for src, out in (
+            ("n_grams", f"n_{n}grams"),
+            ("n_distinct", f"distinct_{n}grams"),
+            ("top_count", f"top_{n}gram_count"),
+        ):
+            cols.append(
+                F.coalesce(
+                    F.max(F.when(F.col("gn") == n, F.col(src))), F.lit(0)
+                ).cast("long").alias(out)
+            )
+    out = stats.groupBy(id_col).agg(*cols)
+    if not {2, 3} <= set(grams):
+        return out  # the flag is defined on 2/3-gram stats only
+    rep = (
+        F.col("top_2gram_count") * 100 > REP_TOP_BIGRAM_PCT * F.col("n_2grams")
+    ) | (
+        (F.col("n_3grams") - F.col("distinct_3grams")) * 100
+        > REP_DUP_TRIGRAM_PCT * F.col("n_3grams")
+    )
+    return out.withColumn("repetitive", rep.cast("long"))

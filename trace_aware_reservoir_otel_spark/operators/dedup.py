@@ -270,6 +270,64 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "n_common", "sz_a", "sz_b", "jaccard")
 
 
+def decontaminate(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark n-gram decontamination — flag training documents that
+    share any word n-gram with a held-out benchmark/eval set (the standard
+    train/test-overlap scrub before corpus text reaches a training run;
+    n=13 in the published recipes, configurable here).
+
+    Returns one row per CONTAMINATED training doc:
+    (id_col, n_grams = its distinct n-gram count, n_shared = how many of
+    those appear anywhere in the benchmark set).
+
+    Shape at scale: the benchmark side is tiny relative to a 100-TB corpus
+    (eval suites are fixed-size), so its distinct gram set is broadcast
+    (`broadcast_bench=False` falls back to a shuffle join for
+    pathologically large benchmark sets). The train side is ONE explode +
+    ONE left broadcast join + ONE groupBy with map-side partial
+    aggregation — the corpus is scanned once and never shuffled at gram
+    grain beyond the doc-keyed count."""
+    bench_grams = (
+        with_shingles(bench_df, n, text_col)
+        .select(F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    # explode_outer + isNotNull (not plain explode): see ngram_jaccard_pairs
+    # — explode's implicit size()>0 filter would be pushed below scale_out's
+    # repartition exchange and re-evaluate the shingle expression on the
+    # unparallelized scan side.
+    tr = (
+        with_shingles(train_df, n, text_col)
+        .select(id_col, F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+    return (
+        tr.join(bench_grams, "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     bits: int = 52,
