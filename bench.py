@@ -207,6 +207,19 @@ def run_headline(spark) -> "tuple[dict, dict]":
         best = sec if best is None or sec < best else best
     extras["minhash_lsh_pairs_xxh_sec"] = round(best, 3)
     extras["rows_minhash_lsh_pairs_xxh"] = int(n_xxh)
+    # round-5 operators, timed as EXTRA keys (not folded into the headline
+    # sum, which stays the stable cross-round set): Gopher repetition rules
+    # and benchmark n-gram decontamination over the documents table
+    for name in ("repetition_stats", "benchmark_decontaminate"):
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).groupBy().count().collect()[0][0]
+            sec = time.time() - t0
+            best = sec if best is None or sec < best else best
+        extras[f"{name}_sec"] = round(best, 3)
+        extras[f"rows_{name}"] = int(n)
+        calib[name] = round(_cpu_calibration(0.15) / 1e6, 1)
     return times, extras
 
 
