@@ -218,3 +218,21 @@ def test_repetition_features_single_scan_no_join(spark):
     assert len(re.findall(r"Generate \(\d+\)", plan)) == 1, (
         "n-gram explode must appear exactly once in the plan tree"
     )
+
+
+def test_corpus_prep_full_gates_are_broadcast_anti_joins(spark, sf_dir):
+    """corpus_prep_full's repetition + contamination gates anti-join the
+    corpus against SMALL flagged-id sets: both must be broadcast (the
+    dedup_survivors pattern) — the corpus itself shuffles exactly once,
+    for the content-hash survivor window."""
+    from trace_aware_reservoir_otel_spark.contract_quality import (
+        q_corpus_prep_full,
+    )
+
+    plan = _plan_of(q_corpus_prep_full(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    assert n_bhj >= 2, f"expected >=2 broadcast anti-joins, plan has {n_bhj}"
+    # the only sort-merge allowed would be none at all: flagged-id sets ride
+    # broadcast, survivor selection is a window (Sort+Exchange, not a join)
+    assert "SortMergeJoin" not in plan

@@ -160,9 +160,158 @@ def oracle_benchmark_decontaminate() -> str:
     """
 
 
+# --- corpus_prep_full ---------------------------------------------------------
+
+def q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete training-data prep composition: benchmark holdout
+    (eval slice excluded from the corpus) → quality/language gate →
+    repetition gate → decontamination gate → exact-dedup survivor →
+    PII scrub. Extends `corpus_prep` with the two round-5 gates.
+
+    100-TB shape: the repetitive and contaminated doc sets are SMALL
+    (filters drop a few percent), so both gates are broadcast ANTI-joins
+    — the corpus-pattern from dedup_survivors: the fact stream is never
+    shuffled except the one content-hash window for survivor selection.
+    The heavy work (repetition stats, gram overlap) happens on slim
+    id+stat aggregates, not on the corpus rows."""
+    from trace_aware_reservoir_otel_spark.functions.text import (
+        quality_features,
+        redact_pii,
+        repetition_features,
+    )
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        decontaminate,
+        scale_out,
+    )
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+
+    rep_ids = (
+        repetition_features(scale_out(train))
+        .filter(F.col("repetitive") == 1)
+        .select("doc_id")
+    )
+    cont_ids = decontaminate(train, bench, n=DECON_N).select("doc_id")
+
+    q = quality_features(train).filter(
+        (F.col("n_tokens") >= 5) & (F.col("lang_pred") == "en_like")
+    )
+    kept = q.join(F.broadcast(rep_ids), "doc_id", "left_anti").join(
+        F.broadcast(cont_ids), "doc_id", "left_anti"
+    )
+    wdup = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    surv = (
+        kept.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return surv.select(
+        "doc_id",
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+        "n_tokens",
+    )
+
+
+def oracle_corpus_prep_full() -> str:
+    from trace_aware_reservoir_otel_spark.contract import DUCK
+    from trace_aware_reservoir_otel_spark.functions.text import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    nt = DUCK.ntokens("text")
+    hits = DUCK.regexp_count(
+        "(' ' || text || ' ')", r"\b(the|a|of|and|to|in|is)\b"
+    )
+    wide_cols = ",\n             ".join(
+        f"max(case when gn = {n} then {src} end) as {out}"
+        for n in (2, 3)
+        for src, out in (
+            ("n_grams", f"n_{n}grams"),
+            ("n_distinct", f"distinct_{n}grams"),
+            ("top_count", f"top_{n}gram_count"),
+        )
+    )
+    return f"""
+    with train as (
+      select doc_id, text from documents where doc_id % 10 <> 0
+    ),
+    bench as (
+      select doc_id, text from documents where doc_id % 10 = 0
+    ),
+    toks as (
+      select doc_id, regexp_split_to_array(trim(text), '\\s+') as tk
+      from train
+    ),
+    grams as (
+      {_rep_gram_branch(2)}
+      union all
+      {_rep_gram_branch(3)}
+    ),
+    cnt as (
+      select doc_id, gn, g, count(*) as c from grams group by doc_id, gn, g
+    ),
+    stats as (
+      select doc_id, gn, sum(c) as n_grams, count(*) as n_distinct,
+             max(c) as top_count
+      from cnt group by doc_id, gn
+    ),
+    wide as (
+      select doc_id,
+             {wide_cols}
+      from stats group by doc_id
+    ),
+    rep_ids as (
+      select doc_id from wide
+      where (coalesce(top_2gram_count, 0) * 100
+                 > {REP_TOP_BIGRAM_PCT} * coalesce(n_2grams, 0))
+         or ((coalesce(n_3grams, 0) - coalesce(distinct_3grams, 0)) * 100
+                 > {REP_DUP_TRIGRAM_PCT} * coalesce(n_3grams, 0))
+    ),
+    bsh as (
+      {_decon_shingles('bench', with_id=False)}
+    ),
+    tsh as (
+      {_decon_shingles('train', with_id=True)}
+    ),
+    cont_ids as (
+      select distinct t.doc_id from tsh t join bsh b using (sh)
+    ),
+    kept as (
+      select doc_id, text, {nt} as n_tokens
+      from train
+      where {nt} >= 5
+        and cast({hits} as bigint) * 12 >= {nt}
+        and doc_id not in (select doc_id from rep_ids)
+        and doc_id not in (select doc_id from cont_ids)
+    ),
+    surv as (
+      select doc_id, text, n_tokens from (
+        select *, row_number() over (
+          partition by md5(text) order by doc_id) as rn
+        from kept)
+      where rn = 1
+    )
+    select doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')) as redacted_md5,
+           n_tokens
+    from surv
+    """
+
+
 QUALITY_QUERIES = {
     "repetition_stats": q_repetition_stats,
     "benchmark_decontaminate": q_benchmark_decontaminate,
+    "corpus_prep_full": q_corpus_prep_full,
 }
 
 
@@ -170,4 +319,5 @@ def quality_oracles() -> "dict[str, str]":
     return {
         "repetition_stats": oracle_repetition_stats(),
         "benchmark_decontaminate": oracle_benchmark_decontaminate(),
+        "corpus_prep_full": oracle_corpus_prep_full(),
     }
