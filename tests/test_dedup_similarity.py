@@ -646,3 +646,25 @@ def test_ivf_index_append_equals_frozen_centroid_rebuild(spark, tmp_path_factory
     )
     res2 = sim.ivf_index_append(big, idx)
     assert res2["rebuild_recommended"] is True  # (20+50) > 0.5 * 60
+
+
+def test_dup_span_stats_positional_and_cross_doc(spark):
+    from trace_aware_reservoir_otel_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),      # shares "a b c","b c d" with doc 1
+            (1, "a b c d q r"),
+            (2, "z z z z"),          # ONE span at 2 positions: within-doc dup
+            (3, "x y"),              # < k tokens: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+           for r in dup_span_stats(docs, k=3).collect()}
+    assert got == {0: (4, 2), 1: (4, 2), 2: (2, 2)}
+
+    # hash choice must not change the statistics (group keys only)
+    portable = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+                for r in dup_span_stats(docs, k=3, portable=True).collect()}
+    assert portable == got

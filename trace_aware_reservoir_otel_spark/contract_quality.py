@@ -308,10 +308,127 @@ def oracle_corpus_prep_full() -> str:
     """
 
 
+# --- dup_spans ----------------------------------------------------------------
+
+SPAN_K = 5  # word-window span size for substring-level dedup
+SPAN_SEED = 42
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication stats over the augmented corpus (the
+    contract_dedup near-dup fixture guarantees duplicated spans at every
+    sf: each of the 50 copies shares every span not touching token 1)."""
+    from trace_aware_reservoir_otel_spark.contract_dedup import _aug_docs
+    from trace_aware_reservoir_otel_spark.operators.dedup import dup_span_stats
+
+    aug = _aug_docs(spark, sf_dir)
+    return dup_span_stats(aug, k=SPAN_K, portable=True, seed=SPAN_SEED)
+
+
+def oracle_dup_spans() -> str:
+    from trace_aware_reservoir_otel_spark.contract_dedup import AUG_DOCS_SQL
+
+    k1 = SPAN_K - 1
+    h = (
+        f"cast('0x' || substr(md5('{SPAN_SEED}:span{SPAN_K}:' || sp), 1, 13) "
+        "as bigint)"
+    )
+    return f"""
+    with aug as (
+      {AUG_DOCS_SQL}
+    ),
+    toks as (
+      select doc_id, regexp_split_to_array(trim(text), '\\s+') as tk
+      from aug where length(trim(text)) > 0
+    ),
+    spans as (
+      select doc_id, {h} as h
+      from (select doc_id, array_to_string(tk[i:i+{k1}], ' ') as sp
+            from toks
+            cross join unnest(range(1, greatest(len(tk) - {k1}, 0) + 1)) as t(i))
+    ),
+    perdoc as (
+      select doc_id, h, count(*) as c from spans group by doc_id, h
+    ),
+    tot as (
+      select h, sum(c) as t from perdoc group by h
+    )
+    select p.doc_id,
+           cast(sum(c) as bigint) as n_spans,
+           cast(sum(case when t >= 2 then c else 0 end) as bigint) as n_dup_spans
+    from perdoc p join tot using (h)
+    group by p.doc_id
+    """
+
+
+# --- token_budget_mix -----------------------------------------------------------
+
+MIX_SEED = 42
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing over documents: per-source budget =
+    400 + 100 * (portable-hash(source) % 4) tokens — a fixed absolute
+    budget (mixtures are specified in tokens, independent of corpus
+    growth), varied across sources so the mix is non-uniform at every
+    sf."""
+    from trace_aware_reservoir_otel_spark.functions.hashing import pbig
+    from trace_aware_reservoir_otel_spark.functions.text import n_tokens
+    from trace_aware_reservoir_otel_spark.operators.mixture import token_budget_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = F.lit(400) + F.lit(100) * (
+        pbig(F.concat(F.lit("budget:"), F.col("source")), MIX_SEED) % 4
+    )
+    return token_budget_mix(
+        docs, budget_col=budget, tokens_col=n_tokens("text"), seed=MIX_SEED
+    )
+
+
+def oracle_token_budget_mix() -> str:
+    prio = (
+        f"cast('0x' || substr(md5('{MIX_SEED}:mix:' || source || ':' || "
+        "cast(doc_id as varchar)), 1, 13) as bigint)"
+    )
+    budget = (
+        f"400 + 100 * (cast('0x' || substr(md5('{MIX_SEED}:budget:' || source), "
+        "1, 13) as bigint) % 4)"
+    )
+    ntok = (
+        "(case when length(trim(text)) = 0 then 0 "
+        "else len(regexp_split_to_array(trim(text), '\\s+')) end)"
+    )
+    return f"""
+    with pri as (
+      select source, doc_id,
+             {prio} as _prio,
+             cast({ntok} as bigint) as n_tokens,
+             {budget} as _budget
+      from documents
+    ),
+    cum as (
+      select source, doc_id, n_tokens, _budget,
+             sum(n_tokens) over (partition by source
+                                 order by _prio desc, doc_id asc
+                                 rows between unbounded preceding
+                                          and current row) as cum_tokens
+      from pri
+    )
+    select source,
+           cast(doc_id as bigint) as doc_id,
+           n_tokens,
+           cast(cum_tokens as bigint) as cum_tokens
+    from cum
+    where cum_tokens - n_tokens < _budget
+    """
+
+
 QUALITY_QUERIES = {
     "repetition_stats": q_repetition_stats,
     "benchmark_decontaminate": q_benchmark_decontaminate,
     "corpus_prep_full": q_corpus_prep_full,
+    "dup_spans": q_dup_spans,
+    "token_budget_mix": q_token_budget_mix,
 }
 
 
@@ -320,4 +437,6 @@ def quality_oracles() -> "dict[str, str]":
         "repetition_stats": oracle_repetition_stats(),
         "benchmark_decontaminate": oracle_benchmark_decontaminate(),
         "corpus_prep_full": oracle_corpus_prep_full(),
+        "dup_spans": oracle_dup_spans(),
+        "token_budget_mix": oracle_token_budget_mix(),
     }

@@ -600,3 +600,56 @@ def dedup_survivors(
         F.col("id").alias(id_col)
     )
     return docs.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Substring-level duplication signal: per document, how many of its
+    positional word k-gram spans occur >= 2 times corpus-wide (the
+    suffix-array substring-dedup signal of Lee et al. 2021, approximated
+    at word-window granularity — within-doc repeats count, matching the
+    "substring occurs more than once in the corpus" rule).
+
+    Returns (id_col, n_spans, n_dup_spans); docs with < k tokens emit no
+    row. n_dup_spans/n_spans is the span-duplication fraction a prep
+    pipeline thresholds on; keeping both integers keeps the oracle exact.
+
+    Shape at scale (replaces the suffix array, which does not distribute):
+    spans stay POSITIONAL (no array_distinct — a doc repeating one span
+    50x must count 50), hashed to 64 bits before any shuffle so raw span
+    text never leaves the executor. Then (1) groupBy(span_hash, doc) with
+    map-side combine collapses within-doc repeats, (2) a window sum over
+    span_hash gets the corpus-wide total without a self-join, (3)
+    groupBy(doc) folds to one row per doc. Three shuffles total, each at
+    span-hash or doc grain, never at raw-span-string width."""
+    df = scale_out(df)
+    toks = tokens_col(text_col)
+    n_spans = F.size(toks) - (k - 1)
+    spans = F.when(n_spans <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_spans),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    # explode_outer + isNotNull (not plain explode): explode's implicit
+    # size()>0 filter gets pushed below scale_out's repartition exchange
+    # and re-evaluates the span expression on the unparallelized scan side.
+    per = (
+        df.select(F.col(id_col), F.explode_outer(spans).alias("sp"))
+        .filter(F.col("sp").isNotNull())
+        .select(id_col, _hash64(F.col("sp"), f"span{k}", portable, seed).alias("h"))
+    )
+    perdoc = per.groupBy("h", id_col).agg(F.count(F.lit(1)).alias("c"))
+    tot = perdoc.withColumn("tot", F.sum("c").over(W.partitionBy("h")))
+    return tot.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("tot") >= 2, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_spans"),
+    )
