@@ -668,3 +668,42 @@ def test_dup_span_stats_positional_and_cross_doc(spark):
     portable = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
                 for r in dup_span_stats(docs, k=3, portable=True).collect()}
     assert portable == got
+
+
+def test_semdedup_drops_within_cell_duplicates_only(spark):
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        semdedup_pairs,
+        semdedup_survivors,
+    )
+
+    # two well-separated directions; ids 0/1 identical (dup), 2 nearby but
+    # below threshold, 10/11 in the other direction, also identical
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),     # dup of 0
+        (2, [0.9, 0.1, 0.0, 0.0]),     # same cell, sim ~0.994 < 0.999
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 1.0, 0.0]),    # dup of 10
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [
+        {"centroid_id": 0, "centroid_vec": [1.0, 0.0, 0.0, 0.0]},
+        {"centroid_id": 1, "centroid_vec": [0.0, 0.0, 1.0, 0.0]},
+    ]
+    pairs = sorted(
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(emb, cents, threshold=0.999).collect()
+    )
+    assert pairs == [(0, 1), (10, 11)]
+    surv = sorted(
+        r["vec_id"]
+        for r in semdedup_survivors(emb, cents, threshold=0.999).collect()
+    )
+    assert surv == [0, 2, 10]
+
+    # max_cell=1 caps every cell to one member: no pairs, everyone survives
+    surv_capped = sorted(
+        r["vec_id"]
+        for r in semdedup_survivors(emb, cents, threshold=0.999, max_cell=1).collect()
+    )
+    assert surv_capped == [0, 1, 2, 10, 11]

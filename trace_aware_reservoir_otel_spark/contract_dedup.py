@@ -737,6 +737,71 @@ def oracle_embedding_dedup_survivors() -> str:
     )
 
 
+def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (within-k-means-cell cosine dedup) over the augmented
+    embedding corpus: planted exact copies (sim 1.0) land in the same
+    cell as their originals and are dropped; unrelated vectors survive.
+    threshold=0.99 sits above the corpus's natural same-label similarity
+    band, so only the planted duplicates cluster."""
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        ivf_centroids,
+        semdedup_survivors,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(copies)
+    cents = ivf_centroids(aug, n_centroids=IVF_CENTROIDS, seed=SEED)
+    return semdedup_survivors(aug, cents, threshold=SEMDEDUP_T).select("vec_id")
+
+
+SEMDEDUP_T = 0.99
+
+
+def oracle_semdedup_survivors() -> str:
+    cos = (
+        "round(list_dot_product({a}.v, {b}.v)\n"
+        "               / (sqrt(list_dot_product({a}.v, {a}.v)) "
+        "* sqrt(list_dot_product({b}.v, {b}.v))), 6)"
+    )
+    return (
+        "with recursive eaug as " + _AUG_EMB_SQL + ",\n"
+        "    e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v\n"
+        "      from eaug),\n"
+        "    " + _DUCK_IVF_CENT + ",\n"
+        "    " + _DUCK_ASSIGN + ",\n"
+        "    av as (\n"
+        "      select a.vec_id, a.centroid_id, e.v\n"
+        "      from assign a join e using (vec_id)\n"
+        "    ),\n"
+        "    sp as (\n"
+        "      select x.vec_id as id_a, y.vec_id as id_b,\n"
+        "             " + cos.format(a="x", b="y") + " as sim\n"
+        "      from av x join av y\n"
+        "        on x.centroid_id = y.centroid_id and x.vec_id < y.vec_id\n"
+        "    ),\n"
+        f"    sp2 as (select id_a, id_b from sp where sim >= {SEMDEDUP_T}),\n"
+        "    sedges as (\n"
+        "      select id_a as a, id_b as b from sp2\n"
+        "      union all\n"
+        "      select id_b, id_a from sp2\n"
+        "    ),\n"
+        "    sverts as (select distinct a as id from sedges),\n"
+        "    swalk(id, dst) as (\n"
+        "      select id, id from sverts\n"
+        "      union\n"
+        "      select w.id, s.b from swalk w join sedges s on s.a = w.dst\n"
+        "    ),\n"
+        "    slosers as (select id from swalk group by id having min(dst) <> id)\n"
+        "    select vec_id from eaug\n"
+        "    where vec_id not in (select id from slosers)"
+    )
+
+
 DEDUP_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_lsh_pairs,
@@ -752,6 +817,7 @@ DEDUP_QUERIES = {
     "dup_clusters_two_phase": q_dup_clusters_two_phase,
     "dedup_survivors": q_dedup_survivors,
     "embedding_dedup_survivors": q_embedding_dedup_survivors,
+    "semdedup_survivors": q_semdedup_survivors,
 }
 
 
@@ -771,4 +837,5 @@ def dedup_oracles() -> "dict[str, str]":
         "dup_clusters_two_phase": oracle_dup_clusters(),
         "dedup_survivors": oracle_dedup_survivors(),
         "embedding_dedup_survivors": oracle_embedding_dedup_survivors(),
+        "semdedup_survivors": oracle_semdedup_survivors(),
     }

@@ -327,6 +327,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, centroid_id, sim): each vector's nearest centroid by cosine
     (rounded, ties to the smaller centroid id — deterministic and
@@ -378,6 +379,7 @@ def ivf_assign(
             F.col(id_col),
             F.lit(None).cast(id_type).alias("centroid_id"),
             F.lit(None).cast("double").alias("sim"),
+            *([_to_double(F.col(vec_col)).alias("_vec")] if keep_vec else []),
         ).limit(0)
 
     def _py_norm(vec: "list[float]") -> float:
@@ -424,6 +426,7 @@ def ivf_assign(
         F.col(id_col),
         best["centroid_id"].alias("centroid_id"),
         best["sim"].alias("sim"),
+        *([F.col("_v").alias("_vec")] if keep_vec else []),
     )
 
 
@@ -692,3 +695,80 @@ def ann_topk_ivf(
     # inline assignment twice — let AQE size the semi-join at runtime
     cand = df.join(cand_ids, on=id_col, how="left_semi")
     return cosine_topk(cand, query_vec, k, vec_col, id_col, round_digits)
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: "DataFrame | list",
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell: "int | None" = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    semantic near-duplicates found by exact pairwise cosine WITHIN each
+    k-means cell only — the cluster assignment is the blocking key that
+    makes semantic dedup tractable (never all-pairs across the corpus).
+
+    Returns (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
+
+    Shape at scale: one assignment projection (ivf_assign — no join, no
+    shuffle, vectors carried through via keep_vec), then ONE shuffle on
+    centroid_id for the within-cell self-join. Pair work is sum over
+    cells of |cell|^2, which the centroid count controls (SemDeDup's own
+    knob); `max_cell` additionally caps any degenerate cell by keeping
+    its smallest-id members only (row_number, spill-safe sort window) so
+    an adversarial cell cannot produce a quadratic blowup."""
+    a = ivf_assign(df, centroids, vec_col, id_col, round_digits, keep_vec=True)
+    a = a.select(id_col, "centroid_id", "_vec")
+    if max_cell is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("centroid_id").orderBy(F.col(id_col).asc())
+        a = (
+            a.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_cell)
+            .drop("_rn")
+        )
+    left = a.select(
+        F.col(id_col).alias("id_a"),
+        F.col("centroid_id").alias("_cid"),
+        F.col("_vec").alias("_va"),
+    )
+    right = a.select(
+        F.col(id_col).alias("id_b"),
+        F.col("centroid_id").alias("_cid"),
+        F.col("_vec").alias("_vb"),
+    )
+    sim = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (norm(F.col("_va")) * norm(F.col("_vb"))),
+        round_digits,
+    )
+    return (
+        left.join(right, "_cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def semdedup_survivors(
+    df: DataFrame,
+    centroids: "DataFrame | list",
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell: "int | None" = None,
+) -> DataFrame:
+    """The SemDeDup-deduplicated corpus: within-cell cosine pairs above
+    `threshold` → connected components → keep each cluster's smallest-id
+    member. Composes semdedup_pairs with the same CC + broadcast
+    anti-join survivor path the text dedup family uses
+    (operators.dedup.dedup_survivors) — the corpus itself never
+    shuffles."""
+    from trace_aware_reservoir_otel_spark.operators.dedup import dedup_survivors
+
+    pairs = semdedup_pairs(df, centroids, threshold, vec_col, id_col, max_cell)
+    return dedup_survivors(df, pairs, id_col=id_col, src="id_a", dst="id_b")
