@@ -210,7 +210,13 @@ def run_headline(spark) -> "tuple[dict, dict]":
     # round-5 operators, timed as EXTRA keys (not folded into the headline
     # sum, which stays the stable cross-round set): Gopher repetition rules
     # and benchmark n-gram decontamination over the documents table
-    for name in ("repetition_stats", "benchmark_decontaminate"):
+    for name in (
+        "repetition_stats",
+        "benchmark_decontaminate",
+        "dup_spans",
+        "token_budget_mix",
+        "semdedup_survivors",
+    ):
         best, n = None, 0
         for _ in range(2):
             t0 = time.time()
