@@ -423,12 +423,180 @@ def oracle_token_budget_mix() -> str:
     """
 
 
+# --- unigram_rarity -------------------------------------------------------------
+
+RARE_MAX = 2
+LM_SEED = 42
+
+
+def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram rarity stats — the integer-exact perplexity proxy
+    (see operators.lm.doc_unigram_stats); the float mean -ln p form is
+    doc_unigram_logprob, unit-tested vs numpy in tests/test_lm.py."""
+    from trace_aware_reservoir_otel_spark.operators.lm import doc_unigram_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_unigram_stats(docs, rare_max=RARE_MAX, portable=True, seed=LM_SEED)
+
+
+def oracle_unigram_rarity() -> str:
+    h = f"cast('0x' || substr(md5('{LM_SEED}:unigram:' || tok), 1, 13) as bigint)"
+    return f"""
+    with toks as (
+      select doc_id, regexp_split_to_array(trim(text), '\\s+') as tk
+      from documents where length(trim(text)) > 0
+    ),
+    per as (
+      select doc_id, {h} as h
+      from toks cross join unnest(tk) as t(tok)
+    ),
+    perdoc as (
+      select doc_id, h, count(*) as c from per group by doc_id, h
+    ),
+    tot as (
+      select *, sum(c) over (partition by h) as tot from perdoc
+    )
+    select doc_id,
+           cast(sum(c) as bigint) as n_tokens,
+           cast(sum(c * tot) as bigint) as sum_tok_freq,
+           cast(sum(case when tot <= {RARE_MAX} then c else 0 end) as bigint)
+               as n_rare_tokens,
+           cast(min(tot) as bigint) as min_tok_freq
+    from tot group by doc_id
+    """
+
+
+# --- dsir_scores ----------------------------------------------------------------
+
+DSIR_N = 2
+DSIR_BUCKETS = 256
+DSIR_SEED = 42
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance scores over documents with the 'en'
+    slice as the target distribution — integer cross-normalized
+    target/raw masses (see operators.lm.dsir_feature_scores); the float
+    log-ratio resampling weights are dsir_logratio_weights, unit-tested
+    vs numpy."""
+    from trace_aware_reservoir_otel_spark.operators.lm import dsir_feature_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_feature_scores(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        n=DSIR_N,
+        n_buckets=DSIR_BUCKETS,
+        portable=True,
+        seed=DSIR_SEED,
+    )
+
+
+def oracle_dsir_scores() -> str:
+    n1 = DSIR_N - 1
+    h = (
+        f"cast('0x' || substr(md5('{DSIR_SEED}:dsir{DSIR_N}:' || g), 1, 13) "
+        f"as bigint) % {DSIR_BUCKETS}"
+    )
+    return f"""
+    with toks as (
+      select doc_id, lang, regexp_split_to_array(trim(text), '\\s+') as tk
+      from documents where length(trim(text)) > 0
+    ),
+    grams as (
+      select doc_id, lang, array_to_string(tk[i:i+{n1}], ' ') as g
+      from toks
+      cross join unnest(range(1, greatest(len(tk) - {n1}, 0) + 1)) as t(i)
+    ),
+    feat as (
+      select doc_id, lang, {h} as bucket, count(*) as c
+      from grams group by doc_id, lang, bucket
+    ),
+    tb as (
+      select bucket, sum(c) as t from feat where lang = 'en' group by bucket
+    ),
+    rb as (
+      select bucket, sum(c) as r from feat group by bucket
+    ),
+    buckets as (
+      select coalesce(tb.bucket, rb.bucket) as bucket,
+             coalesce(t, 0) as t, coalesce(r, 0) as r,
+             (select sum(t) from tb) as ttot,
+             (select sum(r) from rb) as rtot
+      from tb full outer join rb on tb.bucket = rb.bucket
+    )
+    select f.doc_id,
+           cast(sum(f.c) as bigint) as n_features,
+           cast(sum(f.c * b.t * b.rtot) as bigint) as target_mass,
+           cast(sum(f.c * b.r * b.ttot) as bigint) as raw_mass,
+           cast((sum(f.c * b.t * b.rtot) > sum(f.c * b.r * b.ttot)) as bigint)
+               as target_like
+    from feat f left join buckets b using (bucket)
+    group by f.doc_id
+    """
+
+
+# --- pack_chunks ----------------------------------------------------------------
+
+PACK_SEQ_TOKENS = 256
+PACK_SEED = 42
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing of documents into 256-token training chunks per
+    source (concatenate-in-deterministic-order, split at fixed token
+    boundaries — operators.mixture.pack_chunks)."""
+    from trace_aware_reservoir_otel_spark.functions.text import n_tokens
+    from trace_aware_reservoir_otel_spark.operators.mixture import pack_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_chunks(
+        docs, seq_tokens=PACK_SEQ_TOKENS, tokens_col=n_tokens("text"), seed=PACK_SEED
+    )
+
+
+def oracle_pack_chunks() -> str:
+    prio = (
+        f"cast('0x' || substr(md5('{PACK_SEED}:pack:' || source || ':' || "
+        "cast(doc_id as varchar)), 1, 13) as bigint)"
+    )
+    ntok = (
+        "(case when length(trim(text)) = 0 then 0 "
+        "else len(regexp_split_to_array(trim(text), '\\s+')) end)"
+    )
+    return f"""
+    with pri as (
+      select source, doc_id,
+             {prio} as _prio,
+             cast({ntok} as bigint) as n_tokens
+      from documents
+    ),
+    cum as (
+      select source, doc_id, n_tokens,
+             sum(n_tokens) over (partition by source
+                                 order by _prio desc, doc_id asc
+                                 rows between unbounded preceding
+                                          and current row) - n_tokens as _before
+      from pri
+    )
+    select source,
+           cast(doc_id as bigint) as doc_id,
+           n_tokens,
+           cast(floor(_before / {PACK_SEQ_TOKENS}) as bigint) as chunk_id,
+           cast(_before % {PACK_SEQ_TOKENS} as bigint) as chunk_off
+    from cum
+    """
+
+
 QUALITY_QUERIES = {
     "repetition_stats": q_repetition_stats,
     "benchmark_decontaminate": q_benchmark_decontaminate,
     "corpus_prep_full": q_corpus_prep_full,
     "dup_spans": q_dup_spans,
     "token_budget_mix": q_token_budget_mix,
+    "unigram_rarity": q_unigram_rarity,
+    "dsir_scores": q_dsir_scores,
+    "pack_chunks": q_pack_chunks,
 }
 
 
@@ -439,4 +607,7 @@ def quality_oracles() -> "dict[str, str]":
         "corpus_prep_full": oracle_corpus_prep_full(),
         "dup_spans": oracle_dup_spans(),
         "token_budget_mix": oracle_token_budget_mix(),
+        "unigram_rarity": oracle_unigram_rarity(),
+        "dsir_scores": oracle_dsir_scores(),
+        "pack_chunks": oracle_pack_chunks(),
     }

@@ -80,3 +80,55 @@ def token_budget_mix(
         "n_tokens",
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    seq_tokens: int,
+    tokens_col: Column,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Sequence packing — the step that turns a selected corpus into
+    fixed-token training sequences: within each source, documents are laid
+    end-to-end in a deterministic pseudo-random order (pbig priority, same
+    scheme as token_budget_mix with a distinct salt) and cut into
+    seq_tokens-sized chunks; a document's chunk is the one its FIRST token
+    falls in (chunk = floor(tokens-before-it / seq_tokens)), the standard
+    concatenate-then-split packing where long docs may straddle a chunk
+    boundary.
+
+    Returns (source, id, n_tokens, chunk_id, chunk_off) — chunk_off is the
+    doc's start offset within its chunk, so a loader can reconstruct the
+    exact packed layout from this assignment alone.
+
+    Shape at scale: identical to token_budget_mix — ONE shuffle (the
+    window partitionBy(source)), spill-safe running sum, no collect. The
+    all-integer output keeps the oracle exact."""
+    prio = pbig(
+        F.concat_ws(":", F.lit("pack"), F.col(source_col), F.col(id_col).cast("string")),
+        seed,
+    )
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias(id_col),
+        tokens_col.cast("long").alias("n_tokens"),
+        prio.alias("_prio"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("_prio").desc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        base.withColumn("_before", before)
+        .select(
+            "source",
+            F.col(id_col).cast("long").alias(id_col),
+            "n_tokens",
+            F.floor(F.col("_before") / seq_tokens).cast("long").alias("chunk_id"),
+            (F.col("_before") % seq_tokens).cast("long").alias("chunk_off"),
+        )
+    )
