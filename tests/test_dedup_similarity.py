@@ -707,3 +707,114 @@ def test_semdedup_drops_within_cell_duplicates_only(spark):
         for r in semdedup_survivors(emb, cents, threshold=0.999, max_cell=1).collect()
     )
     assert surv_capped == [0, 1, 2, 10, 11]
+
+
+def test_dedup_survivors_by_quality_keeps_best_copy(spark):
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        dedup_survivors,
+        dedup_survivors_by_quality,
+    )
+
+    # cluster {1,2,3} (chain), cluster {10,11}; 4 unclustered.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),          # 2 tokens
+            (2, "a b c d e"),    # 5 tokens  <- best in cluster 1
+            (3, "a b c"),        # 3 tokens
+            (10, "x y z"),       # 3 tokens, ties with 11 -> smaller id wins
+            (11, "p q r"),       # 3 tokens
+            (4, "lone doc"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    q = F.size(F.split(F.trim("text"), r"\s+"))
+    surv = sorted(
+        r.doc_id
+        for r in dedup_survivors_by_quality(docs, pairs, q).collect()
+    )
+    assert surv == [2, 4, 10]
+    # contrast: min-id convention keeps 1, not the 5-token copy
+    surv_minid = sorted(r.doc_id for r in dedup_survivors(docs, pairs).collect())
+    assert surv_minid == [1, 4, 10]
+
+
+def test_dedup_survivors_by_quality_corpus_join_stays_broadcast(spark):
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        dedup_survivors_by_quality,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(100)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    q = F.size(F.split(F.trim("text"), r"\s+"))
+    plan = (
+        dedup_survivors_by_quality(docs, pairs, q)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both the member-quality join and the loser anti-join broadcast the
+    # tiny cluster side; the corpus must never sort-merge or shuffle-hash
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_semantic_decontaminate_flags_only_near_bench_vectors(spark):
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    # cells along axes; train 0/1 near bench b100 (cell 0), train 2 far
+    train = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),        # == bench 100 -> sim 1.0
+            (1, [0.999, 0.01, 0.0, 0.0]),     # near bench 100
+            (2, [0.0, 0.0, 1.0, 0.0]),        # other cell, no bench there
+            (3, [0.7, 0.7, 0.0, 0.0]),        # cell 0 but sim ~0.71 < T
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = [
+        {"centroid_id": 0, "centroid_vec": [1.0, 0.0, 0.0, 0.0]},
+        {"centroid_id": 1, "centroid_vec": [0.0, 0.0, 1.0, 0.0]},
+    ]
+    out = {
+        r.vec_id: (r.n_contaminated_by, r.max_sim)
+        for r in semantic_decontaminate(train, bench, cents, threshold=0.99).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0] == (1, 1.0)
+    assert out[1][0] == 1 and out[1][1] >= 0.99
+
+
+def test_semantic_decontaminate_bench_side_broadcast(spark):
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.0, 0.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = [
+        {"centroid_id": 0, "centroid_vec": [1.0, 0.0, 0.0, 0.0]},
+        {"centroid_id": 1, "centroid_vec": [0.0, 1.0, 0.0, 0.0]},
+    ]
+    plan = (
+        semantic_decontaminate(train, bench, cents, threshold=0.99)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

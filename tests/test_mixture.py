@@ -49,3 +49,88 @@ def test_mixture_is_deterministic_and_per_source(spark):
         per[src] = max(per.get(src, 0), cum)
     # every 3-token doc: budgets 9/15/3 -> last-selected cum = 9/15/3
     assert per == {"s0": 9, "s1": 15, "s2": 3}
+
+
+# --- split_long_docs ---------------------------------------------------------
+
+from trace_aware_reservoir_otel_spark.operators.mixture import split_long_docs
+
+
+def _split(spark, token_counts, seq, stride=None):
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return split_long_docs(
+        df,
+        seq_tokens=seq,
+        tokens_col=F.size(F.split(F.trim("text"), r"\s+")),
+        stride=stride,
+    )
+
+
+def test_split_covers_every_token_with_overlap(spark):
+    # n=11, seq=4, stride=3 -> 1 + ceil(7/3) = 4 pieces at 0,3,6,9;
+    # the last is the short tail (tokens 9..10)
+    out = sorted(
+        _split(spark, [11], 4, 3).collect(), key=lambda r: r.piece_idx
+    )
+    assert [(r.tok_start, r.tok_len) for r in out] == [
+        (0, 4),
+        (3, 4),
+        (6, 4),
+        (9, 2),
+    ]
+    # union of [start, start+len) covers 0..10 exactly
+    covered = set()
+    for r in out:
+        covered.update(range(r.tok_start, r.tok_start + r.tok_len))
+    assert covered == set(range(11))
+    # n=10 lands exactly on the last full window: ceil(6/3)=2 -> 3 pieces,
+    # full coverage with no redundant tail piece
+    out10 = sorted(
+        (r.tok_start, r.tok_len) for r in _split(spark, [10], 4, 3).collect()
+    )
+    assert out10 == [(0, 4), (3, 4), (6, 4)]
+
+
+def test_split_short_doc_single_piece_and_empty_doc_dropped(spark):
+    rows = [(1, "a b c"), (2, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_long_docs(
+        df,
+        seq_tokens=8,
+        tokens_col=F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim("text"), r"\s+"))
+        ),
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id, r.piece_idx, r.tok_start, r.tok_len) == (1, 0, 0, 3)
+
+
+def test_split_exact_multiple_no_empty_tail(spark):
+    # n=12, seq=4, stride=4 -> exactly 3 disjoint pieces, no 0-length tail
+    out = _split(spark, [12], 4).collect()
+    assert sorted((r.tok_start, r.tok_len) for r in out) == [
+        (0, 4),
+        (4, 4),
+        (8, 4),
+    ]
+
+
+def test_split_rejects_bad_stride(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _split(spark, [10], 4, 5)
+    with _pytest.raises(ValueError):
+        _split(spark, [10], 4, 0)
+
+
+def test_split_plan_has_zero_shuffles(spark):
+    plan = (
+        _split(spark, [10, 300, 7], 64, 48)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan

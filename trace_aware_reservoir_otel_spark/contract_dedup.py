@@ -802,6 +802,112 @@ def oracle_semdedup_survivors() -> str:
     )
 
 
+def q_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: within each near-dup cluster the member with
+    the most tokens survives (ties -> smallest id) — the keep-the-best-
+    copy policy (operators/dedup.dedup_survivors_by_quality), checked
+    against the same recursive-CTE component oracle with a window rank."""
+    from trace_aware_reservoir_otel_spark.functions.text import n_tokens
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        dedup_survivors_by_quality,
+    )
+
+    aug = _aug_docs(spark, sf_dir)
+    return dedup_survivors_by_quality(
+        aug, q_lsh_pairs(spark, sf_dir), n_tokens("text")
+    ).select("doc_id")
+
+
+def oracle_dedup_survivors_quality() -> str:
+    ntok = (
+        "(case when length(trim(a.text)) = 0 then 0 "
+        "else len(regexp_split_to_array(trim(a.text), '\\s+')) end)"
+    )
+    return (
+        "with recursive aug as (\n      " + AUG_DOCS_SQL + "\n    ),\n    "
+        + _walk_cte() + ",\n"
+        "    comp as (select id, min(dst) as comp from walk group by id),\n"
+        "    memq as (\n"
+        f"      select c.id, c.comp, {ntok} as q\n"
+        "      from comp c join aug a on a.doc_id = c.id\n"
+        "    ),\n"
+        "    ranked as (\n"
+        "      select id, row_number() over (\n"
+        "        partition by comp order by q desc, id asc) as rk\n"
+        "      from memq\n"
+        "    ),\n"
+        "    qlosers as (select id from ranked where rk > 1)\n"
+        "    select doc_id from aug\n"
+        "    where doc_id not in (select id from qlosers)"
+    )
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/test decontamination: the train corpus is
+    the augmented embedding set (originals + 20 planted exact copies at
+    vec_id+100000); the benchmark is the vec_id < 20 slice. Copies land
+    in their original's k-means cell (same vector, same centroids) and
+    are flagged at sim 1.0 — as are the benchmark rows themselves, which
+    the train set accidentally contains (the realistic leak)."""
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    train = emb.unionByName(copies)
+    bench = emb.filter(F.col("vec_id") < 20)
+    cents = ivf_centroids(train, n_centroids=IVF_CENTROIDS, seed=SEED)
+    return semantic_decontaminate(train, bench, cents, threshold=SEMDEDUP_T)
+
+
+def oracle_semantic_decontaminate() -> str:
+    cos = (
+        "round(list_dot_product(t.v, b.bv)\n"
+        "               / (sqrt(list_dot_product(t.v, t.v)) "
+        "* sqrt(list_dot_product(b.bv, b.bv))), 6)"
+    )
+    return (
+        "with eaug as " + _AUG_EMB_SQL + ",\n"
+        "    e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v\n"
+        "      from eaug),\n"
+        "    " + _DUCK_IVF_CENT + ",\n"
+        "    " + _DUCK_ASSIGN + ",\n"
+        "    be as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v\n"
+        "      from embeddings where vec_id < 20),\n"
+        "    bscored as (\n"
+        "      select be.vec_id, c.centroid_id,\n"
+        "             round(list_dot_product(be.v, c.cv)\n"
+        "               / (sqrt(list_dot_product(be.v, be.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) as sim\n"
+        "      from be cross join cent c\n"
+        "    ),\n"
+        "    bassign as (\n"
+        "      select vec_id, centroid_id\n"
+        "      from (select *, row_number() over (\n"
+        "                   partition by vec_id order by sim desc, centroid_id asc) as rn\n"
+        "            from bscored)\n"
+        "      where rn = 1\n"
+        "    ),\n"
+        "    tv as (select a.vec_id, a.centroid_id, e.v\n"
+        "      from assign a join e using (vec_id)),\n"
+        "    bvt as (select a.centroid_id, be.v as bv\n"
+        "      from bassign a join be on be.vec_id = a.vec_id),\n"
+        "    hits as (\n"
+        "      select t.vec_id, " + cos + " as sim\n"
+        "      from tv t join bvt b on t.centroid_id = b.centroid_id\n"
+        f"      where {cos} >= {SEMDEDUP_T}\n"
+        "    )\n"
+        "    select vec_id, cast(count(*) as bigint) as n_contaminated_by,\n"
+        "           max(sim) as max_sim\n"
+        "    from hits group by vec_id"
+    )
+
+
 DEDUP_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_lsh_pairs,
@@ -818,6 +924,8 @@ DEDUP_QUERIES = {
     "dedup_survivors": q_dedup_survivors,
     "embedding_dedup_survivors": q_embedding_dedup_survivors,
     "semdedup_survivors": q_semdedup_survivors,
+    "dedup_survivors_quality": q_dedup_survivors_quality,
+    "semantic_decontaminate": q_semantic_decontaminate,
 }
 
 
@@ -838,4 +946,6 @@ def dedup_oracles() -> "dict[str, str]":
         "dedup_survivors": oracle_dedup_survivors(),
         "embedding_dedup_survivors": oracle_embedding_dedup_survivors(),
         "semdedup_survivors": oracle_semdedup_survivors(),
+        "dedup_survivors_quality": oracle_dedup_survivors_quality(),
+        "semantic_decontaminate": oracle_semantic_decontaminate(),
     }

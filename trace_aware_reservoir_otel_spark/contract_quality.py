@@ -588,6 +588,52 @@ def oracle_pack_chunks() -> str:
     """
 
 
+# --- split_long_docs --------------------------------------------------------------
+
+SPLIT_SEQ_TOKENS = 64
+SPLIT_STRIDE = 48
+
+
+def q_split_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window split of long documents into overlapping 64-token
+    training pieces at stride 48 (operators.mixture.split_long_docs)."""
+    from trace_aware_reservoir_otel_spark.functions.text import n_tokens
+    from trace_aware_reservoir_otel_spark.operators.mixture import split_long_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_long_docs(
+        docs,
+        seq_tokens=SPLIT_SEQ_TOKENS,
+        tokens_col=n_tokens("text"),
+        stride=SPLIT_STRIDE,
+    )
+
+
+def oracle_split_long_docs() -> str:
+    seq, stride = SPLIT_SEQ_TOKENS, SPLIT_STRIDE
+    ntok = (
+        "(case when length(trim(text)) = 0 then 0 "
+        "else len(regexp_split_to_array(trim(text), '\\s+')) end)"
+    )
+    return f"""
+    with t as (
+      select doc_id, cast({ntok} as bigint) as n from documents
+    ),
+    k as (
+      select doc_id, n,
+             cast(floor((greatest(n - {seq}, 0) + {stride - 1}) / {stride})
+                  as bigint) as k
+      from t where n > 0
+    )
+    select cast(doc_id as bigint) as doc_id,
+           n as n_tokens,
+           cast(i as bigint) as piece_idx,
+           cast(i * {stride} as bigint) as tok_start,
+           cast(least({seq}, n - i * {stride}) as bigint) as tok_len
+    from k cross join unnest(range(0, k + 1)) as u(i)
+    """
+
+
 QUALITY_QUERIES = {
     "repetition_stats": q_repetition_stats,
     "benchmark_decontaminate": q_benchmark_decontaminate,
@@ -597,6 +643,7 @@ QUALITY_QUERIES = {
     "unigram_rarity": q_unigram_rarity,
     "dsir_scores": q_dsir_scores,
     "pack_chunks": q_pack_chunks,
+    "split_long_docs": q_split_long_docs,
 }
 
 
@@ -610,4 +657,5 @@ def quality_oracles() -> "dict[str, str]":
         "unigram_rarity": oracle_unigram_rarity(),
         "dsir_scores": oracle_dsir_scores(),
         "pack_chunks": oracle_pack_chunks(),
+        "split_long_docs": oracle_split_long_docs(),
     }

@@ -602,6 +602,40 @@ def dedup_survivors(
     return docs.join(F.broadcast(losers), on=id_col, how="left_anti")
 
 
+def dedup_survivors_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: Column,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware survivor selection: within each near-duplicate
+    cluster keep the HIGHEST-quality member (ties -> smallest id) instead
+    of dedup_survivors' smallest-id convention — the keep-the-best-copy
+    policy real corpus prep wants (e.g. quality_col = token count keeps
+    the longest duplicate; any integer Column works and stays
+    oracle-exact). Documents in no pair survive untouched.
+
+    Shape at 100 TB: connected_components output is O(cluster members);
+    member quality comes from ONE broadcast join into an (id, quality)
+    projection of the corpus (column-pruned scan — quality_col prunes to
+    its input columns); the per-cluster ranking is a window over the tiny
+    member set; the final drop is the same broadcast anti-join as
+    dedup_survivors. The corpus itself never shuffles."""
+    cc = connected_components(pairs, src, dst).withColumnRenamed("id", id_col)
+    members = docs.select(F.col(id_col), quality_col.alias("_q")).join(
+        F.broadcast(cc), on=id_col
+    )
+    w = W.partitionBy("comp").orderBy(F.col("_q").desc(), F.col(id_col).asc())
+    losers = (
+        members.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(id_col)
+    )
+    return docs.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
 def dup_span_stats(
     df: DataFrame,
     k: int = 5,

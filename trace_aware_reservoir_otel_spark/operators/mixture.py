@@ -132,3 +132,57 @@ def pack_chunks(
             (F.col("_before") % seq_tokens).cast("long").alias("chunk_off"),
         )
     )
+
+
+def split_long_docs(
+    df: DataFrame,
+    seq_tokens: int,
+    tokens_col: Column,
+    stride: "int | None" = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window split of long documents into training pieces — the
+    complement of pack_chunks: where packing concatenates SHORT docs up to
+    the context window, splitting cuts LONG docs down to it. Pieces start
+    at 0, stride, 2*stride, ...; the number of pieces is
+    1 + ceil(max(n_tokens - seq_tokens, 0) / stride), so every token is
+    covered, consecutive pieces overlap by seq_tokens - stride, and the
+    final piece may be shorter (it ends at the document's end).
+    stride defaults to seq_tokens (disjoint pieces). Zero-token docs emit
+    no row.
+
+    Returns (id_col, n_tokens, piece_idx, tok_start, tok_len) — all
+    integers, so the oracle is exact and a loader can slice its own
+    tokenization by (tok_start, tok_len) alone.
+
+    Shape at 100 TB: ZERO shuffles — one projection + one Generate
+    (explode of an int sequence, fan-out = pieces per doc, bounded by
+    doc length / stride). Catalyst prunes the scan to (id, tokens_col
+    inputs); integer ceil via (g + stride - 1) floor-div stride is exact
+    in both engines (< 2^53 tokens/doc)."""
+    if stride is None:
+        stride = seq_tokens
+    if not (0 < stride <= seq_tokens):
+        raise ValueError(f"stride must be in (0, seq_tokens]; got {stride}")
+    n = tokens_col.cast("long")
+    extra = F.floor(
+        (F.greatest(n - seq_tokens, F.lit(0)) + (stride - 1)) / stride
+    ).cast("long")
+    base = df.select(F.col(id_col), n.alias("n_tokens"), extra.alias("_k"))
+    out = base.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_k"))).alias(
+            "piece_idx"
+        ),
+    )
+    start = F.col("piece_idx") * stride
+    return out.select(
+        F.col(id_col).cast("long").alias(id_col),
+        "n_tokens",
+        F.col("piece_idx").cast("long").alias("piece_idx"),
+        start.cast("long").alias("tok_start"),
+        F.least(F.lit(seq_tokens).cast("long"), F.col("n_tokens") - start)
+        .cast("long")
+        .alias("tok_len"),
+    )

@@ -772,3 +772,55 @@ def semdedup_survivors(
 
     pairs = semdedup_pairs(df, centroids, threshold, vec_col, id_col, max_cell)
     return dedup_survivors(df, pairs, id_col=id_col, src="id_a", dst="id_b")
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    centroids: "DataFrame | list",
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Semantic train/test decontamination: flag TRAIN vectors whose
+    embedding is within `threshold` cosine of ANY benchmark vector
+    assigned to the same k-means cell — the embedding-space analog of the
+    n-gram `operators.dedup.decontaminate` (paraphrased benchmark leaks
+    share no 5-gram but do sit next to the original in embedding space),
+    with the SemDeDup cell assignment as the blocking key. Both sets are
+    assigned against the SAME centroids, so an exact copy always lands in
+    its original's cell.
+
+    Returns contaminated train vectors only:
+    (id_col, n_contaminated_by, max_sim).
+
+    Shape at 100 TB: the benchmark set is FIXED SIZE (eval suites don't
+    grow with the corpus), so its assigned+carried-vector side is
+    broadcast; the train corpus is touched by ONE assignment projection
+    (ivf_assign's chunked literal-fold argmax — no join, no shuffle) +
+    one broadcast join; only the flagged pairs (O(benchmark leaks), not
+    O(corpus)) reach the final groupBy."""
+    ta = ivf_assign(
+        train, centroids, vec_col, id_col, round_digits, keep_vec=True
+    ).select(id_col, "centroid_id", "_vec")
+    ba = ivf_assign(
+        bench, centroids, vec_col, id_col, round_digits, keep_vec=True
+    ).select(
+        F.col("centroid_id").alias("_cid"),
+        F.col("_vec").alias("_vb"),
+    )
+    sim = F.round(
+        dot(F.col("_vec"), F.col("_vb"))
+        / (norm(F.col("_vec")) * norm(F.col("_vb"))),
+        round_digits,
+    )
+    hits = (
+        ta.join(F.broadcast(ba), ta["centroid_id"] == ba["_cid"])
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminated_by"),
+        F.max("sim").alias("max_sim"),
+    )
