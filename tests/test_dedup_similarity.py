@@ -818,3 +818,27 @@ def test_semantic_decontaminate_bench_side_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_cell_stats_counts_and_sim_bounds(spark):
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        ivf_cell_stats,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [
+        {"centroid_id": 0, "centroid_vec": [1.0, 0.0, 0.0, 0.0]},
+        {"centroid_id": 1, "centroid_vec": [0.0, 0.0, 1.0, 0.0]},
+    ]
+    out = {r.centroid_id: r for r in ivf_cell_stats(emb, cents).collect()}
+    assert out[0].n_members == 2 and out[1].n_members == 1
+    assert out[0].max_sim == 1.0 and out[1].min_sim == 1.0
+    # micro-sum is the exact integer sum of round(sim*1e6)
+    assert out[0].sum_sim_micro == 1000000 + round(out[0].min_sim * 1e6)

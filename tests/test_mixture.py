@@ -134,3 +134,46 @@ def test_split_plan_has_zero_shuffles(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# --- top_quality_per_source --------------------------------------------------
+
+from trace_aware_reservoir_otel_spark.operators.mixture import (
+    top_quality_per_source,
+)
+
+
+def test_top_quality_keeps_ceil_fraction_best_ties_to_smallest_id(spark):
+    # source s: qualities 5,4,4,2,1 over ids 1..5 -> keep ceil(5*2/5)=2:
+    # q=5 (id 1) and the q=4 TIE breaks to id 2.
+    rows = [
+        (1, "s", 5),
+        (2, "s", 4),
+        (3, "s", 4),
+        (4, "s", 2),
+        (5, "s", 1),
+        (6, "t", 7),  # singleton source: ceil(1*2/5)=1 -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q long")
+    out = top_quality_per_source(df, F.col("q"), keep_num=2, keep_den=5)
+    got = sorted((r.source, r.doc_id, r.q_rank) for r in out.collect())
+    assert got == [("s", 1, 1), ("s", 2, 2), ("t", 6, 1)]
+
+
+def test_top_quality_single_exchange(spark):
+    df = spark.createDataFrame(
+        [(i, "s" if i % 2 else "t", i % 13) for i in range(100)],
+        "doc_id long, source string, q long",
+    )
+    plan = (
+        top_quality_per_source(df, F.col("q"), 3, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    exchanges = [
+        ln for ln in plan.splitlines() if re.search(r"\bExchange hashpartitioning", ln)
+    ]
+    assert len(exchanges) == 1, plan

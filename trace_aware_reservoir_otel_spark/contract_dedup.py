@@ -908,6 +908,33 @@ def oracle_semantic_decontaminate() -> str:
     )
 
 
+def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-balance diagnostics over the embedding corpus — the query an
+    operator runs before picking n_centroids / max_cell / broadcast_cap
+    (operators/similarity.ivf_cell_stats)."""
+    from trace_aware_reservoir_otel_spark.operators.similarity import (
+        ivf_cell_stats,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, n_centroids=IVF_CENTROIDS, seed=SEED)
+    return ivf_cell_stats(emb, cents)
+
+
+def oracle_ivf_cell_stats() -> str:
+    return (
+        "with " + _DUCK_E + ",\n    " + _DUCK_IVF_CENT + ",\n    " + _DUCK_ASSIGN + "\n"
+        "    select centroid_id,\n"
+        "           cast(count(*) as bigint) as n_members,\n"
+        "           cast(sum(cast(round(sim * 1000000) as bigint)) as bigint)\n"
+        "               as sum_sim_micro,\n"
+        "           min(sim) as min_sim,\n"
+        "           max(sim) as max_sim\n"
+        "    from assign group by centroid_id"
+    )
+
+
 DEDUP_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_lsh_pairs,
@@ -926,6 +953,7 @@ DEDUP_QUERIES = {
     "semdedup_survivors": q_semdedup_survivors,
     "dedup_survivors_quality": q_dedup_survivors_quality,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "ivf_cell_stats": q_ivf_cell_stats,
 }
 
 
@@ -948,4 +976,5 @@ def dedup_oracles() -> "dict[str, str]":
         "semdedup_survivors": oracle_semdedup_survivors(),
         "dedup_survivors_quality": oracle_dedup_survivors_quality(),
         "semantic_decontaminate": oracle_semantic_decontaminate(),
+        "ivf_cell_stats": oracle_ivf_cell_stats(),
     }

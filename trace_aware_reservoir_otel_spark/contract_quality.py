@@ -634,6 +634,49 @@ def oracle_split_long_docs() -> str:
     """
 
 
+# --- top_quality_per_source --------------------------------------------------------
+
+KEEP_NUM, KEEP_DEN = 3, 10
+
+
+def q_top_quality_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate: keep the top 3/10 of documents by token
+    count within each source (operators.mixture.top_quality_per_source;
+    rational cutoff keeps the rank arithmetic integer-exact)."""
+    from trace_aware_reservoir_otel_spark.functions.text import n_tokens
+    from trace_aware_reservoir_otel_spark.operators.mixture import (
+        top_quality_per_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_quality_per_source(
+        docs, n_tokens("text"), keep_num=KEEP_NUM, keep_den=KEEP_DEN
+    )
+
+
+def oracle_top_quality_per_source() -> str:
+    ntok = (
+        "(case when length(trim(text)) = 0 then 0 "
+        "else len(regexp_split_to_array(trim(text), '\\s+')) end)"
+    )
+    return f"""
+    with q as (
+      select source, doc_id, cast({ntok} as bigint) as quality from documents
+    ),
+    r as (
+      select source, doc_id, quality,
+             row_number() over (partition by source
+                                order by quality desc, doc_id asc) as q_rank,
+             count(*) over (partition by source) as n
+      from q
+    )
+    select source, cast(doc_id as bigint) as doc_id, quality,
+           cast(q_rank as bigint) as q_rank
+    from r
+    where q_rank <= (n * {KEEP_NUM} + {KEEP_DEN - 1}) // {KEEP_DEN}
+    """
+
+
 QUALITY_QUERIES = {
     "repetition_stats": q_repetition_stats,
     "benchmark_decontaminate": q_benchmark_decontaminate,
@@ -644,6 +687,7 @@ QUALITY_QUERIES = {
     "dsir_scores": q_dsir_scores,
     "pack_chunks": q_pack_chunks,
     "split_long_docs": q_split_long_docs,
+    "top_quality_per_source": q_top_quality_per_source,
 }
 
 
@@ -658,4 +702,5 @@ def quality_oracles() -> "dict[str, str]":
         "dsir_scores": oracle_dsir_scores(),
         "pack_chunks": oracle_pack_chunks(),
         "split_long_docs": oracle_split_long_docs(),
+        "top_quality_per_source": oracle_top_quality_per_source(),
     }

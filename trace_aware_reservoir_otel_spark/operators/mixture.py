@@ -186,3 +186,51 @@ def split_long_docs(
         .cast("long")
         .alias("tok_len"),
     )
+
+
+def top_quality_per_source(
+    df: DataFrame,
+    quality_col: Column,
+    keep_num: int,
+    keep_den: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source quality-percentile selection: within each source keep
+    the ceil(n * keep_num / keep_den) highest-quality documents (ties ->
+    smallest id) — the "top 30% by quality per domain" gate real corpus
+    prep applies between scoring and mixing. The fraction is a RATIONAL
+    (keep_num/keep_den) so the cutoff is integer-exact in both engines
+    (a float frac*n ceil is off-by-one prone: ceil(0.3*10) can be 4).
+
+    Returns (source, id_col, quality, q_rank) for kept docs.
+
+    Shape at 100 TB: ONE shuffle — both window functions (rank and
+    per-source count) share the partitionBy(source) Exchange; the sort is
+    spill-safe. Mega-source note: rank-based selection per source is a
+    full per-source sort; when a single source dominates the corpus,
+    pre-filter with an approximate quantile cutoff first and rank only
+    the survivors (same pattern as token_budget_mix's priority
+    pre-filter)."""
+    if keep_num < 0 or keep_den <= 0:
+        raise ValueError(f"keep fraction must be >=0/'>0'; got {keep_num}/{keep_den}")
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias(id_col),
+        quality_col.cast("long").alias("quality"),
+    )
+    w_rank = W.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    w_all = W.partitionBy("source")
+    ranked = base.withColumn("q_rank", F.row_number().over(w_rank)).withColumn(
+        "_n", F.count(F.lit(1)).over(w_all)
+    )
+    # ceil(n*num/den) via integer floor-div (exact below 2^53)
+    cutoff = F.floor((F.col("_n") * keep_num + (keep_den - 1)) / keep_den)
+    return ranked.filter(F.col("q_rank") <= cutoff).select(
+        "source",
+        F.col(id_col).cast("long").alias(id_col),
+        "quality",
+        F.col("q_rank").cast("long").alias("q_rank"),
+    )

@@ -824,3 +824,35 @@ def semantic_decontaminate(
         F.count(F.lit(1)).cast("long").alias("n_contaminated_by"),
         F.max("sim").alias("max_sim"),
     )
+
+
+def ivf_cell_stats(
+    df: DataFrame,
+    centroids: "DataFrame | list",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cell-balance diagnostics for IVF / SemDeDup tuning: per k-means
+    cell, the member count and the distribution of similarity-to-centroid.
+    Skewed cells are THE scale hazard for both ANN probe cost (a probed
+    hot cell reads a huge partition) and SemDeDup pair work (sum of
+    |cell|^2) — this is the query an operator runs before picking
+    n_centroids / max_cell / broadcast_cap.
+
+    Returns (centroid_id, n_members, sum_sim_micro, min_sim, max_sim) —
+    the mean arrives as an exact integer micro-unit sum (sum of
+    round(sim*1e6) longs) because a float avg is summation-order-
+    dependent across engines; min/max of already-rounded sims are exact.
+
+    Shape: one assignment projection (no join, no shuffle) + ONE
+    map-side-combined groupBy at centroid grain (n_centroids rows out)."""
+    a = ivf_assign(df, centroids, vec_col, id_col, round_digits)
+    return a.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.round(F.col("sim") * 1000000).cast("long"))
+        .cast("long")
+        .alias("sum_sim_micro"),
+        F.min("sim").alias("min_sim"),
+        F.max("sim").alias("max_sim"),
+    )
