@@ -842,3 +842,110 @@ def test_ivf_cell_stats_counts_and_sim_bounds(spark):
     assert out[0].max_sim == 1.0 and out[1].min_sim == 1.0
     # micro-sum is the exact integer sum of round(sim*1e6)
     assert out[0].sum_sim_micro == 1000000 + round(out[0].min_sim * 1e6)
+
+
+# --- incremental dedup index -------------------------------------------------
+
+
+def _mh_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_drops_index_collisions_only(spark, tmp_path):
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        incremental_dedup_survivors,
+        index_matches,
+        minhash_index,
+    )
+
+    hist = _mh_docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+    )
+    idx = str(tmp_path / "mhidx")
+    minhash_index(hist, idx, num_hashes=8, n=3, bands=4, seed=7)
+    batch = _mh_docs(
+        spark,
+        [
+            # near-copy of hist 0 (shares shingles) -> dropped
+            (101, "alpha beta gamma delta epsilon eta"),
+            # fresh content -> survives
+            (102, "completely different words entirely here now"),
+            # no shingles (2 tokens < n=3) -> trivially survives
+            (103, "too short"),
+        ],
+    )
+    surv = sorted(r.doc_id for r in incremental_dedup_survivors(batch, idx).collect())
+    assert surv == [102, 103]
+    m = {(r.doc_id, r.hist_id) for r in index_matches(batch, idx).collect()}
+    assert m == {(101, 0)}
+
+
+def test_incremental_dedup_append_extends_index(spark, tmp_path):
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        incremental_dedup_survivors,
+        minhash_index,
+        minhash_index_append,
+    )
+
+    hist = _mh_docs(spark, [(0, "alpha beta gamma delta epsilon zeta")])
+    idx = str(tmp_path / "mhidx")
+    minhash_index(hist, idx, num_hashes=8, n=3, bands=4, seed=7)
+    fresh = _mh_docs(spark, [(50, "brand new survivor content goes right here")])
+    surv = incremental_dedup_survivors(fresh, idx)
+    assert [r.doc_id for r in surv.collect()] == [50]
+    # append the survivor; an identical later doc must now be dropped
+    minhash_index_append(surv, idx)
+    later = _mh_docs(
+        spark,
+        [
+            (60, "brand new survivor content goes right here"),  # dup of 50
+            (61, "yet another unrelated document body text"),
+        ],
+    )
+    surv2 = sorted(
+        r.doc_id for r in incremental_dedup_survivors(later, idx).collect()
+    )
+    assert surv2 == [61]
+
+
+def test_incremental_dedup_index_cap_preserves_existence(spark, tmp_path):
+    """max_bucket=1 on the index side must not change survivor results:
+    bucket existence is what the semi-join consumes."""
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        incremental_dedup_survivors,
+        minhash_index,
+    )
+
+    # three identical hist docs land in the same buckets; cap keeps 1
+    hist = _mh_docs(
+        spark, [(i, "alpha beta gamma delta epsilon zeta") for i in range(3)]
+    )
+    batch = _mh_docs(
+        spark,
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),  # dup -> dropped
+            (101, "some other totally fresh words appear here"),
+        ],
+    )
+    for cap in (1, 256):
+        idx = str(tmp_path / f"mhidx_{cap}")
+        minhash_index(hist, idx, num_hashes=8, n=3, bands=4, seed=7, max_bucket=cap)
+        surv = sorted(
+            r.doc_id for r in incremental_dedup_survivors(batch, idx).collect()
+        )
+        assert surv == [101], f"cap={cap}"
+
+
+def test_incremental_dedup_probe_rejects_missing_meta(spark, tmp_path):
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        incremental_dedup_survivors,
+    )
+    import pytest as _pytest
+
+    batch = _mh_docs(spark, [(1, "a b c d")])
+    with _pytest.raises(ValueError):
+        incremental_dedup_survivors(batch, str(tmp_path / "nope")).collect()

@@ -935,6 +935,121 @@ def oracle_ivf_cell_stats() -> str:
     )
 
 
+_INC_HIST_SQL = (
+    "select doc_id, text from documents where doc_id % 2 = 0"
+)
+_INC_BATCH_SQL = (
+    "select doc_id, text from documents where doc_id % 2 = 1\n"
+    "      union all\n"
+    "      select doc_id + 1000000 as doc_id,\n"
+    "             regexp_replace(text, '^\\S+', 'xyzzy') as text\n"
+    "      from documents where doc_id % 2 = 0 and doc_id < 50"
+)
+
+
+def _minhash_index_dir(sf_dir: str) -> str:
+    """Deterministic scratch location for the committed MinHash dedup
+    index of a given historical corpus + knobs (built once, probed by
+    every subsequent call — the amortized-index usage it exists for).
+    Same stale-key defense as _ivf_index_dir: the key folds in a
+    size+mtime stat of the source parquet."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(
+        f"{sf_dir}:mhidx:{MINHASHES}:{SHINGLE_N}:{BANDS}:{SEED}:{MAX_BUCKET}:"
+        f"{_source_stat(f'{sf_dir}/documents.parquet')}".encode()
+    ).hexdigest()[:12]
+    return f"{tempfile.gettempdir()}/taro_mh_index_{key}"
+
+
+def q_incremental_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the even-doc_id half of the corpus is the
+    committed historical index; the batch is the odd half (mostly fresh)
+    plus perturbed copies of indexed docs (planted cross-set near-dups,
+    dropped). History always wins; the batch never rescans the corpus
+    (operators/dedup.minhash_index + incremental_dedup_survivors)."""
+    import os
+
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        incremental_dedup_survivors,
+        minhash_index,
+        _MINHASH_META,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 50)).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+", "xyzzy").alias("text"),
+        )
+    )
+    index_dir = _minhash_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(index_dir, _MINHASH_META)):
+        minhash_index(
+            hist,
+            index_dir,
+            num_hashes=MINHASHES,
+            n=SHINGLE_N,
+            bands=BANDS,
+            portable=True,
+            seed=SEED,
+            max_bucket=MAX_BUCKET,
+        )
+    return incremental_dedup_survivors(batch, index_dir).select("doc_id")
+
+
+def oracle_incremental_dedup_survivors() -> str:
+    n1 = SHINGLE_N - 1
+    rpb = MINHASHES // BANDS
+    mins = ",\n             ".join(
+        "min(" + _duck_pbig(f"'{SEED}:mh{h}:' || sh") + f") as mh_{h}"
+        for h in range(MINHASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = " || ',' || ".join(
+            f"cast(mh_{i} as varchar)" for i in range(b * rpb, (b + 1) * rpb)
+        )
+        band_selects.append(
+            f"select doc_id, grp, {b} as band, md5({cols}) as bucket from mh"
+        )
+    bands_sql = "\n      union all\n      ".join(band_selects)
+    return (
+        "with inc as (\n"
+        "      select doc_id, text, 0 as grp from (" + _INC_HIST_SQL + ") h\n"
+        "      union all\n"
+        "      select doc_id, text, 1 as grp from (" + _INC_BATCH_SQL + ") b\n"
+        "    ),\n"
+        "    toks as (\n"
+        "      select doc_id, grp, regexp_split_to_array(trim(text), '\\s+') as tk\n"
+        "      from inc where length(trim(text)) > 0\n"
+        "    ),\n"
+        "    sh as (\n"
+        "      select distinct doc_id, grp,\n"
+        f"             array_to_string(tk[i:i+{n1}], ' ') as sh\n"
+        "      from toks\n"
+        f"      cross join unnest(range(1, greatest(len(tk) - {n1}, 0) + 1)) as t(i)\n"
+        "    ),\n"
+        "    mh as (\n"
+        "      select doc_id, grp,\n             " + mins + "\n"
+        "      from sh group by doc_id, grp\n"
+        "    ),\n"
+        "    br as (\n      " + bands_sql + "\n    ),\n"
+        "    hsel as (select distinct band, bucket from br where grp = 0),\n"
+        "    matched as (\n"
+        "      select distinct b.doc_id from br b\n"
+        "      join hsel h on b.band = h.band and b.bucket = h.bucket\n"
+        "      where b.grp = 1\n"
+        "    )\n"
+        "    select doc_id from inc where grp = 1\n"
+        "      and doc_id not in (select doc_id from matched)"
+    )
+
+
 DEDUP_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_lsh_pairs,
@@ -954,6 +1069,7 @@ DEDUP_QUERIES = {
     "dedup_survivors_quality": q_dedup_survivors_quality,
     "semantic_decontaminate": q_semantic_decontaminate,
     "ivf_cell_stats": q_ivf_cell_stats,
+    "incremental_dedup_survivors": q_incremental_dedup_survivors,
 }
 
 
@@ -977,4 +1093,5 @@ def dedup_oracles() -> "dict[str, str]":
         "dedup_survivors_quality": oracle_dedup_survivors_quality(),
         "semantic_decontaminate": oracle_semantic_decontaminate(),
         "ivf_cell_stats": oracle_ivf_cell_stats(),
+        "incremental_dedup_survivors": oracle_incremental_dedup_survivors(),
     }

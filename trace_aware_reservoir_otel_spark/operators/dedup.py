@@ -128,17 +128,20 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_rows(
     signatures: DataFrame,
     bands: int = 4,
     id_col: str = "doc_id",
-    max_bucket: int = 64,
+    max_bucket: "int | None" = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket.
-
-    Signature columns mh_* are split into `bands` contiguous bands; a
-    band's bucket key is the md5 of its concatenated values. Pairs emerge
-    from a self-join per bucket (skew-capped at `max_bucket`)."""
+    """(id_col, band, bucket): LSH bucket membership rows. Signature
+    columns mh_* are split into `bands` contiguous bands; a band's bucket
+    key is the md5 of its concatenated values. Docs with NULL signatures
+    (no shingles) emit no rows. With `max_bucket`, membership of each
+    (band, bucket) is capped to its smallest-id members (spill-safe
+    row_number window) — the skew guard that bounds downstream join
+    fan-out; capping preserves bucket EXISTENCE exactly, so semi-join
+    consumers (incremental_dedup_survivors) are unaffected."""
     mh_cols = sorted(
         (c for c in signatures.columns if c.startswith("mh_")),
         key=lambda c: int(c.split("_")[1]),
@@ -164,13 +167,26 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        wb = W.partitionBy("band", "bucket").orderBy(id_col)
+        band_rows = (
+            band_rows.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
+    return band_rows
 
-    wb = W.partitionBy("band", "bucket").orderBy(id_col)
-    band_rows = (
-        band_rows.withColumn("_rn", F.row_number().over(wb))
-        .filter(F.col("_rn") <= max_bucket)
-        .drop("_rn")
-    )
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    Pairs emerge from a self-join per bucket (skew-capped at
+    `max_bucket` — see lsh_band_rows)."""
+    band_rows = lsh_band_rows(signatures, bands, id_col, max_bucket)
     a = band_rows.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_a")
     )
@@ -687,3 +703,170 @@ def dup_span_stats(
         .cast("long")
         .alias("n_dup_spans"),
     )
+
+
+# --- incremental dedup index -------------------------------------------------
+#
+# The 100-TB ingestion pattern: a corpus is deduplicated ONCE, its LSH
+# bucket membership is committed as an index, and every subsequent ingest
+# batch dedups against the index in O(batch) — never a historical-corpus
+# rescan. Mirrors the materialized IVF index (operators/similarity.ivf_index):
+# snapshot commits for atomicity, stored knobs for probe-time validation,
+# commit_append deltas for growth.
+
+_MINHASH_META = "_minhash_meta.jsonl"
+
+
+def _minhash_knobs(index_dir: str) -> dict:
+    from trace_aware_reservoir_otel_spark import fsutil
+    import os
+
+    rows = fsutil.read_jsonl(os.path.join(index_dir, _MINHASH_META))
+    if not rows:
+        raise ValueError(f"no minhash index meta at {index_dir}")
+    return rows[-1]
+
+
+def minhash_index(
+    docs: DataFrame,
+    index_dir: str,
+    num_hashes: int = 16,
+    n: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    seed: int = 42,
+    max_bucket: int = 256,
+) -> "dict[str, int]":
+    """Materialize a historical corpus's LSH bucket membership:
+
+      {index_dir}/buckets  (id_col, band, bucket), PARTITIONED BY band,
+                           committed via the snapshot protocol (readers
+                           never see a half-built index).
+
+    The hashing knobs (num_hashes, shingle n, bands, seed, hash family,
+    id column) are stored beside the snapshot; probes hash their batch
+    with the STORED knobs, so an index built under one scheme can never
+    be silently probed under another — the correctness trap of any
+    persistent signature store. Bucket membership is capped at
+    `max_bucket` smallest ids: existence (what survivor queries need) is
+    preserved exactly; pair witnesses are bounded.
+
+    Scale note: probes join on (band, bucket) — a shuffle join at bucket
+    grain (never doc-text grain). On a real cluster, commit the bucket
+    table bucketBy(band, bucket) (sources/bucketed.py) to make every
+    probe join one-sided."""
+    import os
+
+    from trace_aware_reservoir_otel_spark import fsutil
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, portable, seed)
+    rows = lsh_band_rows(sig, bands, id_col, max_bucket)
+    v = commit.commit_write(rows, f"{index_dir}/buckets", partition_by=["band"])
+    meta = {
+        "num_hashes": num_hashes,
+        "n": n,
+        "bands": bands,
+        "portable": portable,
+        "seed": seed,
+        "max_bucket": max_bucket,
+        "id_col": id_col,
+    }
+    fsutil.write_jsonl_atomic(os.path.join(index_dir, _MINHASH_META), [meta])
+    return {"buckets": v}
+
+
+def minhash_index_append(
+    new_docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Extend the committed index with a new batch (typically the batch's
+    dedup SURVIVORS, after incremental_dedup_survivors): hash ONLY the
+    batch under the stored knobs and append as an immutable delta
+    (commit_append) — O(batch), no rescan. Per-delta bucket caps mean a
+    bucket can exceed max_bucket across deltas; existence semantics are
+    unaffected (see lsh_band_rows)."""
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    k = _minhash_knobs(index_dir)
+    sig = minhash_signatures(
+        new_docs, k["num_hashes"], k["n"], text_col, id_col, k["portable"], k["seed"]
+    )
+    rows = lsh_band_rows(sig, k["bands"], id_col, k["max_bucket"]).select(
+        F.col(id_col).alias(k["id_col"]), "band", "bucket"
+    )
+    return commit.commit_append(rows, f"{index_dir}/buckets", partition_by=["band"])
+
+
+def _batch_band_rows(
+    batch: DataFrame,
+    k: dict,
+    text_col: str,
+    id_col: str,
+    max_bucket: "int | None",
+) -> DataFrame:
+    sig = minhash_signatures(
+        batch, k["num_hashes"], k["n"], text_col, id_col, k["portable"], k["seed"]
+    )
+    return lsh_band_rows(sig, k["bands"], id_col, max_bucket)
+
+
+def index_matches(
+    batch: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct (id_col, hist_id) candidate matches: batch docs sharing
+    any LSH (band, bucket) with an indexed historical doc. Witnesses are
+    bounded by the stored max_bucket on both sides."""
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    k = _minhash_knobs(index_dir)
+    idx = commit.read_committed(batch.sparkSession, f"{index_dir}/buckets").select(
+        F.col(k["id_col"]).alias("hist_id"), "band", "bucket"
+    )
+    rows = _batch_band_rows(batch, k, text_col, id_col, k["max_bucket"])
+    return (
+        rows.join(idx, on=["band", "bucket"])
+        .select(id_col, "hist_id")
+        .distinct()
+    )
+
+
+def incremental_dedup_survivors(
+    batch: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The incremental-dedup result: batch docs that collide with NO
+    indexed historical bucket (history always wins — the committed corpus
+    is immutable). Collision detection is a LEFT SEMI join of the batch's
+    band rows against the index (existence only — no pair fan-out, so a
+    mega-bucket cannot blow up the plan); the matched id set is
+    O(batch dups) and drops out via the same broadcast anti-join as the
+    rest of the survivor family. Batch docs with no shingles trivially
+    survive. Within-batch duplicates are deliberately out of scope —
+    compose with dedup_survivors on the batch first."""
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    k = _minhash_knobs(index_dir)
+    idx = commit.read_committed(batch.sparkSession, f"{index_dir}/buckets").select(
+        "band", "bucket"
+    )
+    # UNCAPPED batch rows: capping the probe side would drop a capped-out
+    # batch doc's bucket row and let a true duplicate wrongly survive —
+    # only the index side's cap is existence-preserving. A semi-join has
+    # no pair fan-out, so the uncapped probe is still blowup-free.
+    rows = _batch_band_rows(batch, k, text_col, id_col, None)
+    matched = (
+        rows.join(idx, on=["band", "bucket"], how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return batch.join(F.broadcast(matched), on=id_col, how="left_anti")
