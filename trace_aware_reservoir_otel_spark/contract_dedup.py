@@ -1002,7 +1002,11 @@ def q_incremental_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     return incremental_dedup_survivors(batch, index_dir).select("doc_id")
 
 
-def oracle_incremental_dedup_survivors() -> str:
+def _inc_band_rows_ctes(inc_body: str) -> str:
+    """CTE chain inc -> toks -> sh -> mh -> br for a tagged doc union
+    (`inc_body` must yield (doc_id, text, grp)); `br` holds the LSH band
+    rows (doc_id, grp, band, bucket) under the contract knobs — the SQL
+    mirror of minhash_signatures + lsh_band_rows."""
     n1 = SHINGLE_N - 1
     rpb = MINHASHES // BANDS
     mins = ",\n             ".join(
@@ -1019,11 +1023,7 @@ def oracle_incremental_dedup_survivors() -> str:
         )
     bands_sql = "\n      union all\n      ".join(band_selects)
     return (
-        "with inc as (\n"
-        "      select doc_id, text, 0 as grp from (" + _INC_HIST_SQL + ") h\n"
-        "      union all\n"
-        "      select doc_id, text, 1 as grp from (" + _INC_BATCH_SQL + ") b\n"
-        "    ),\n"
+        "inc as (\n      " + inc_body + "\n    ),\n"
         "    toks as (\n"
         "      select doc_id, grp, regexp_split_to_array(trim(text), '\\s+') as tk\n"
         "      from inc where length(trim(text)) > 0\n"
@@ -1038,7 +1038,18 @@ def oracle_incremental_dedup_survivors() -> str:
         "      select doc_id, grp,\n             " + mins + "\n"
         "      from sh group by doc_id, grp\n"
         "    ),\n"
-        "    br as (\n      " + bands_sql + "\n    ),\n"
+        "    br as (\n      " + bands_sql + "\n    )"
+    )
+
+
+def oracle_incremental_dedup_survivors() -> str:
+    inc_body = (
+        "select doc_id, text, 0 as grp from (" + _INC_HIST_SQL + ") h\n"
+        "      union all\n"
+        "      select doc_id, text, 1 as grp from (" + _INC_BATCH_SQL + ") b"
+    )
+    return (
+        "with " + _inc_band_rows_ctes(inc_body) + ",\n"
         "    hsel as (select distinct band, bucket from br where grp = 0),\n"
         "    matched as (\n"
         "      select distinct b.doc_id from br b\n"
@@ -1047,6 +1058,124 @@ def oracle_incremental_dedup_survivors() -> str:
         "    )\n"
         "    select doc_id from inc where grp = 1\n"
         "      and doc_id not in (select doc_id from matched)"
+    )
+
+
+_STREAM_B1_SQL = (
+    "select doc_id, text from documents where doc_id % 4 = 1\n"
+    "      union all\n"
+    "      select doc_id + 1000000 as doc_id,\n"
+    "             regexp_replace(text, '^\\S+', 'xyzzy') as text\n"
+    "      from documents where doc_id % 2 = 0 and doc_id < 50"
+)
+_STREAM_B2_SQL = (
+    "select doc_id, text from documents where doc_id % 4 = 3\n"
+    "      union all\n"
+    "      select doc_id + 2000000 as doc_id,\n"
+    "             regexp_replace(text, '^\\S+', 'qwerty') as text\n"
+    "      from documents where doc_id % 4 = 1 and doc_id < 100"
+)
+
+
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming form of the incremental dedup index
+    (streaming/dedup.run_incremental_dedup): two micro-batch files with
+    pinned mtimes stream through foreachBatch; batch 1 dedups against the
+    committed historical index, batch 2 against history ∪ batch-1
+    survivors (appended between batches). Planted cross-set copies make
+    both fold steps non-trivial: batch 1 carries perturbed copies of
+    indexed docs (dropped vs history), batch 2 carries perturbed copies
+    of batch-1 docs (dropped vs the APPENDED survivors — the step a
+    one-shot dedup cannot express). Fresh index/out/checkpoint dirs per
+    call: the stream mutates its index, so nothing is cached."""
+    import os
+    import tempfile
+    import time as _time
+
+    from trace_aware_reservoir_otel_spark.operators.dedup import minhash_index
+    from trace_aware_reservoir_otel_spark.streaming.dedup import (
+        read_survivors,
+        run_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 4 == 1).unionByName(
+        docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 50)).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+", "xyzzy").alias("text"),
+        )
+    )
+    b2 = docs.filter(F.col("doc_id") % 4 == 3).unionByName(
+        docs.filter((F.col("doc_id") % 4 == 1) & (F.col("doc_id") < 100)).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+", "qwerty").alias("text"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="taro_sdedup_")
+    idx, inp = f"{root}/idx", f"{root}/in"
+    os.makedirs(inp)
+    minhash_index(
+        hist,
+        idx,
+        num_hashes=MINHASHES,
+        n=SHINGLE_N,
+        bands=BANDS,
+        portable=True,
+        seed=SEED,
+        max_bucket=MAX_BUCKET,
+    )
+    t0 = _time.time() - 100
+    for name, frame, mt in (("b1", b1, t0), ("b2", b2, t0 + 10)):
+        tmp = f"{root}/stage_{name}"
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+        )
+        os.replace(os.path.join(tmp, part), f"{inp}/{name}.parquet")
+        os.utime(f"{inp}/{name}.parquet", (mt, mt))
+    run_incremental_dedup(spark, inp, idx, f"{root}/out", f"{root}/ckpt")
+    return read_survivors(spark, f"{root}/out").select("doc_id")
+
+
+def oracle_streaming_incremental_dedup() -> str:
+    inc_body = (
+        "select doc_id, text, 0 as grp from (" + _INC_HIST_SQL + ") h\n"
+        "      union all\n"
+        "      select doc_id, text, 1 as grp from (" + _STREAM_B1_SQL + ") b1\n"
+        "      union all\n"
+        "      select doc_id, text, 2 as grp from (" + _STREAM_B2_SQL + ") b2"
+    )
+    return (
+        "with " + _inc_band_rows_ctes(inc_body) + ",\n"
+        "    hsel as (select distinct band, bucket from br where grp = 0),\n"
+        "    m1 as (\n"
+        "      select distinct b.doc_id from br b\n"
+        "      join hsel h on b.band = h.band and b.bucket = h.bucket\n"
+        "      where b.grp = 1\n"
+        "    ),\n"
+        "    s1 as (\n"
+        "      select doc_id from inc where grp = 1\n"
+        "        and doc_id not in (select doc_id from m1)\n"
+        "    ),\n"
+        "    hsel2 as (\n"
+        "      select band, bucket from hsel\n"
+        "      union\n"
+        "      select distinct b.band, b.bucket from br b\n"
+        "      join s1 on b.doc_id = s1.doc_id where b.grp = 1\n"
+        "    ),\n"
+        "    m2 as (\n"
+        "      select distinct b.doc_id from br b\n"
+        "      join hsel2 h on b.band = h.band and b.bucket = h.bucket\n"
+        "      where b.grp = 2\n"
+        "    ),\n"
+        "    s2 as (\n"
+        "      select doc_id from inc where grp = 2\n"
+        "        and doc_id not in (select doc_id from m2)\n"
+        "    )\n"
+        "    select doc_id from s1 union all select doc_id from s2"
     )
 
 
@@ -1070,6 +1199,7 @@ DEDUP_QUERIES = {
     "semantic_decontaminate": q_semantic_decontaminate,
     "ivf_cell_stats": q_ivf_cell_stats,
     "incremental_dedup_survivors": q_incremental_dedup_survivors,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
 }
 
 
@@ -1094,4 +1224,5 @@ def dedup_oracles() -> "dict[str, str]":
         "semantic_decontaminate": oracle_semantic_decontaminate(),
         "ivf_cell_stats": oracle_ivf_cell_stats(),
         "incremental_dedup_survivors": oracle_incremental_dedup_survivors(),
+        "streaming_incremental_dedup": oracle_streaming_incremental_dedup(),
     }

@@ -727,6 +727,13 @@ def _minhash_knobs(index_dir: str) -> dict:
     return rows[-1]
 
 
+def _knob_schema(k: dict):
+    from pyspark.sql import types as T
+
+    s = k.get("schema")
+    return T.StructType.fromJson(s) if s else None
+
+
 def minhash_index(
     docs: DataFrame,
     index_dir: str,
@@ -773,6 +780,10 @@ def minhash_index(
         "seed": seed,
         "max_bucket": max_bucket,
         "id_col": id_col,
+        # stored so probes can read back a legitimately EMPTY snapshot
+        # (no parquet footers to infer from — e.g. an index built before
+        # any history exists)
+        "schema": rows.schema.jsonValue(),
     }
     fsutil.write_jsonl_atomic(os.path.join(index_dir, _MINHASH_META), [meta])
     return {"buckets": v}
@@ -827,9 +838,9 @@ def index_matches(
     from trace_aware_reservoir_otel_spark.plans import commit
 
     k = _minhash_knobs(index_dir)
-    idx = commit.read_committed(batch.sparkSession, f"{index_dir}/buckets").select(
-        F.col(k["id_col"]).alias("hist_id"), "band", "bucket"
-    )
+    idx = commit.read_committed(
+        batch.sparkSession, f"{index_dir}/buckets", schema=_knob_schema(k)
+    ).select(F.col(k["id_col"]).alias("hist_id"), "band", "bucket")
     rows = _batch_band_rows(batch, k, text_col, id_col, k["max_bucket"])
     return (
         rows.join(idx, on=["band", "bucket"])
@@ -856,9 +867,9 @@ def incremental_dedup_survivors(
     from trace_aware_reservoir_otel_spark.plans import commit
 
     k = _minhash_knobs(index_dir)
-    idx = commit.read_committed(batch.sparkSession, f"{index_dir}/buckets").select(
-        "band", "bucket"
-    )
+    idx = commit.read_committed(
+        batch.sparkSession, f"{index_dir}/buckets", schema=_knob_schema(k)
+    ).select("band", "bucket")
     # UNCAPPED batch rows: capping the probe side would drop a capped-out
     # batch doc's bucket row and let a true duplicate wrongly survive —
     # only the index side's cap is existence-preserving. A semi-join has

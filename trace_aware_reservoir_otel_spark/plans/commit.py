@@ -135,23 +135,32 @@ def _current_dirs(table_dir: str) -> "list[str]":
     return list(rec["dirs"]) if "dirs" in rec else [rec["dir"]]
 
 
-def read_committed(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_committed(spark: SparkSession, table_dir: str, schema=None) -> DataFrame:
     """Read the table's current committed snapshot (single dir or an
     append chain of delta dirs). Falls back to a plain directory read when
     no pointer exists (pre-shim layout). Chain dirs are read separately
     and unioned — each keeps its own hive-partition discovery, and filter
     pushdown (incl. partition pruning) passes through a union, so a
-    probe's PartitionFilters reach every delta."""
+    probe's PartitionFilters reach every delta.
+
+    `schema` (optional StructType) makes an EMPTY committed snapshot
+    readable — a zero-row table has no parquet footer to infer from, and
+    a legitimate empty corpus (e.g. a dedup index before any history)
+    must read back as an empty frame, not an inference error."""
     from functools import reduce
+
+    def _read(path: str) -> DataFrame:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(path)
 
     dirs = _current_dirs(table_dir)
     if not dirs:
-        return spark.read.parquet(table_dir)
+        return _read(table_dir)
     if len(dirs) == 1:
-        return spark.read.parquet(dirs[0])
-    return reduce(
-        lambda a, b: a.unionByName(b), (spark.read.parquet(d) for d in dirs)
-    )
+        return _read(dirs[0])
+    return reduce(lambda a, b: a.unionByName(b), (_read(d) for d in dirs))
 
 
 def snapshots(table_dir: str) -> "list[dict]":
