@@ -216,6 +216,10 @@ def run_headline(spark) -> "tuple[dict, dict]":
         "dup_spans",
         "token_budget_mix",
         "semdedup_survivors",
+        "incremental_dedup_survivors",
+        "semantic_decontaminate",
+        "pack_chunks",
+        "dsir_scores",
     ):
         best, n = None, 0
         for _ in range(2):

@@ -949,3 +949,38 @@ def test_incremental_dedup_probe_rejects_missing_meta(spark, tmp_path):
     batch = _mh_docs(spark, [(1, "a b c d")])
     with _pytest.raises(ValueError):
         incremental_dedup_survivors(batch, str(tmp_path / "nope")).collect()
+
+
+def test_dup_source_matrix_counts_and_canonical_order(spark):
+    from trace_aware_reservoir_otel_spark.operators.dedup import dup_source_matrix
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "books"), (5, "web")],
+        "doc_id long, source string",
+    )
+    out = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in dup_source_matrix(pairs, docs).collect()
+    }
+    # (1,2): web-web; (1,3): books-web canonicalized; (4,5): books-web
+    assert out == {("web", "web"): 1, ("books", "web"): 2}
+
+
+def test_dup_source_matrix_corpus_side_never_shuffled(spark):
+    from trace_aware_reservoir_otel_spark.operators.dedup import dup_source_matrix
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(200)], "doc_id long, source string"
+    )
+    plan = (
+        dup_source_matrix(pairs, docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

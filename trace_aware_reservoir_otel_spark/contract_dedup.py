@@ -1179,6 +1179,44 @@ def oracle_streaming_incremental_dedup() -> str:
     )
 
 
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over the augmented corpus (planted
+    near-dup copies inherit their original's source), counting LSH
+    near-dup pairs per unordered source pair
+    (operators/dedup.dup_source_matrix)."""
+    from trace_aware_reservoir_otel_spark.operators.dedup import dup_source_matrix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_map = docs.select("doc_id", "source").unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "source"
+        )
+    )
+    return dup_source_matrix(q_lsh_pairs(spark, sf_dir), src_map)
+
+
+def oracle_dup_source_matrix() -> str:
+    return (
+        "with pairs as (select * from (" + oracle_lsh_pairs() + ") t),\n"
+        "    smap as (\n"
+        "      select doc_id, source from documents\n"
+        "      union all\n"
+        "      select doc_id + 1000000 as doc_id, source\n"
+        "      from documents where doc_id < 50\n"
+        "    ),\n"
+        "    ab as (\n"
+        "      select ma.source as s_a, mb.source as s_b\n"
+        "      from pairs p\n"
+        "      join smap ma on ma.doc_id = p.doc_a\n"
+        "      join smap mb on mb.doc_id = p.doc_b\n"
+        "    )\n"
+        "    select least(s_a, s_b) as source_a,\n"
+        "           greatest(s_a, s_b) as source_b,\n"
+        "           cast(count(*) as bigint) as n_pairs\n"
+        "    from ab group by 1, 2"
+    )
+
+
 DEDUP_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_lsh_pairs,
@@ -1200,6 +1238,7 @@ DEDUP_QUERIES = {
     "ivf_cell_stats": q_ivf_cell_stats,
     "incremental_dedup_survivors": q_incremental_dedup_survivors,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "dup_source_matrix": q_dup_source_matrix,
 }
 
 
@@ -1225,4 +1264,5 @@ def dedup_oracles() -> "dict[str, str]":
         "ivf_cell_stats": oracle_ivf_cell_stats(),
         "incremental_dedup_survivors": oracle_incremental_dedup_survivors(),
         "streaming_incremental_dedup": oracle_streaming_incremental_dedup(),
+        "dup_source_matrix": oracle_dup_source_matrix(),
     }

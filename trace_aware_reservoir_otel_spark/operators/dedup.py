@@ -881,3 +881,44 @@ def incremental_dedup_survivors(
         .distinct()
     )
     return batch.join(F.broadcast(matched), on=id_col, how="left_anti")
+
+
+def dup_source_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Cross-source duplication matrix: for each unordered source pair,
+    how many near-duplicate pairs span it — the governance diagnostic
+    that shows which domains copy from which (and how much of a source is
+    self-duplication). Returns (source_a, source_b, n_pairs) with
+    source_a <= source_b.
+
+    Shape at 100 TB: the pair set is O(duplicates), tiny next to the
+    corpus — both lookups broadcast the PAIR side into a column-pruned
+    (id, source) projection of the corpus, so the corpus is scanned
+    narrow and never shuffled; the final groupBy is at source-pair grain
+    (bounded by #sources^2)."""
+    sdim = docs.select(F.col(id_col), F.col(source_col))
+    a = (
+        sdim.join(
+            F.broadcast(pairs.select(F.col(src).alias(id_col), dst)), on=id_col
+        )
+        .select(
+            F.col(source_col).alias("_sa"), F.col(dst).alias(id_col)
+        )
+    )
+    ab = sdim.join(F.broadcast(a), on=id_col).select(
+        F.col("_sa"), F.col(source_col).alias("_sb")
+    )
+    return (
+        ab.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
