@@ -677,6 +677,203 @@ def oracle_top_quality_per_source() -> str:
     """
 
 
+# --- training_mix_pipeline ----------------------------------------------------
+#
+# The round-5 capstone composition: every selection/mixing operator this
+# round added, chained end-to-end into the thing a training run actually
+# consumes — packed fixed-token chunk assignments.
+
+MIX_KEEP_NUM, MIX_KEEP_DEN = 4, 5  # per-source quality gate: keep top 4/5
+MIX_BUDGET_TOKENS = 3000           # per-source token budget for the mixture
+MIX_PACK_SEQ = 256                 # training context window (tokens)
+
+
+def q_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data mixing pipeline, every stage the real
+    operator: benchmark holdout (doc_id%10==0) → per-source quality
+    percentile gate (top 4/5 by token count, text carried through) →
+    benchmark n-gram decontamination (broadcast anti-join) → quality-aware
+    near-dup survivor selection (MinHash-LSH pairs → CC → keep the
+    longest copy; broadcast anti-join) → per-source token-budget mixing
+    (3000 tokens/source, one window shuffle) → sequence packing into
+    256-token chunks (one window shuffle).
+
+    100-TB shape: the corpus is never joined fact-to-fact — every gate is
+    a broadcast anti-join of a small flagged id set; the only
+    corpus-grain shuffles are the three per-source windows (gate, mix,
+    pack), each spill-safe."""
+    from trace_aware_reservoir_otel_spark.contract_dedup import (
+        BANDS,
+        MAX_BUCKET,
+        MINHASHES,
+        SEED,
+        SHINGLE_N,
+    )
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        decontaminate,
+        dedup_survivors_by_quality,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from trace_aware_reservoir_otel_spark.functions.text import n_tokens
+    from trace_aware_reservoir_otel_spark.operators.mixture import (
+        pack_chunks,
+        token_budget_mix,
+        top_quality_per_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+
+    gated = top_quality_per_source(
+        train,
+        n_tokens("text"),
+        keep_num=MIX_KEEP_NUM,
+        keep_den=MIX_KEEP_DEN,
+        carry_cols=("text",),
+    )
+    cont_ids = decontaminate(gated, bench, n=DECON_N).select("doc_id")
+    clean = gated.join(F.broadcast(cont_ids), "doc_id", "left_anti")
+
+    sig = minhash_signatures(
+        clean, MINHASHES, SHINGLE_N, portable=True, seed=SEED
+    )
+    pairs = lsh_candidate_pairs(sig, BANDS, max_bucket=MAX_BUCKET)
+    kept = dedup_survivors_by_quality(clean, pairs, n_tokens("text"))
+
+    mixed = token_budget_mix(
+        kept,
+        budget_col=F.lit(MIX_BUDGET_TOKENS),
+        tokens_col=n_tokens("text"),
+    )
+    return pack_chunks(
+        mixed, seq_tokens=MIX_PACK_SEQ, tokens_col=F.col("n_tokens")
+    )
+
+
+def oracle_training_mix_pipeline() -> str:
+    from trace_aware_reservoir_otel_spark.contract_dedup import (
+        MAX_BUCKET,
+        _duck_pbig,
+        _inc_band_rows_ctes,
+    )
+
+    ntok = (
+        "(case when length(trim(text)) = 0 then 0 "
+        "else len(regexp_split_to_array(trim(text), '\\s+')) end)"
+    )
+    mix_prio = _duck_pbig(
+        "'42:mix:' || source || ':' || cast(doc_id as varchar)"
+    )
+    pack_prio = _duck_pbig(
+        "'42:pack:' || source || ':' || cast(doc_id as varchar)"
+    )
+    return (
+        "with recursive bench as (\n"
+        "      select doc_id, text from documents where doc_id % 10 = 0\n"
+        "    ),\n"
+        "    train as (\n"
+        "      select doc_id, source, text from documents where doc_id % 10 <> 0\n"
+        "    ),\n"
+        # stage 1: per-source quality gate (top 4/5 by token count)
+        f"    tq as (select doc_id, source, text, cast({ntok} as bigint) as quality from train),\n"
+        "    tr as (\n"
+        "      select *, row_number() over (partition by source\n"
+        "                 order by quality desc, doc_id asc) as q_rank,\n"
+        "             count(*) over (partition by source) as nsrc\n"
+        "      from tq\n"
+        "    ),\n"
+        "    gated as (\n"
+        f"      select doc_id, source, text, quality from tr\n"
+        f"      where q_rank <= (nsrc * {MIX_KEEP_NUM} + {MIX_KEEP_DEN - 1}) // {MIX_KEEP_DEN}\n"
+        "    ),\n"
+        # stage 2: benchmark n-gram decontamination
+        "    bsh as (\n      " + _decon_shingles("bench", with_id=False) + "\n    ),\n"
+        "    gsh as (\n      " + _decon_shingles("gated", with_id=True) + "\n    ),\n"
+        "    cont as (select distinct g.doc_id from gsh g join bsh b using (sh)),\n"
+        "    clean as (\n"
+        "      select * from gated where doc_id not in (select doc_id from cont)\n"
+        "    ),\n"
+        # stage 3: MinHash-LSH pairs over the clean set (contract knobs)
+        + _inc_band_rows_ctes("select doc_id, text, 1 as grp from clean") + ",\n"
+        "    brc as (\n"
+        "      select doc_id, band, bucket\n"
+        "      from (select *, row_number() over (\n"
+        "                   partition by band, bucket order by doc_id) as rn\n"
+        "            from br)\n"
+        f"      where rn <= {MAX_BUCKET}\n"
+        "    ),\n"
+        "    tpairs as (\n"
+        "      select distinct a.doc_id as doc_a, b.doc_id as doc_b\n"
+        "      from brc a join brc b\n"
+        "        on a.band = b.band and a.bucket = b.bucket\n"
+        "      where a.doc_id < b.doc_id\n"
+        "    ),\n"
+        # stage 3b: connected components + keep the highest-quality member
+        "    tedges as (\n"
+        "      select doc_a as a, doc_b as b from tpairs\n"
+        "      union all\n"
+        "      select doc_b, doc_a from tpairs\n"
+        "    ),\n"
+        "    tverts as (select distinct a as id from tedges),\n"
+        "    twalk(id, dst) as (\n"
+        "      select id, id from tverts\n"
+        "      union\n"
+        "      select w.id, e.b from twalk w join tedges e on e.a = w.dst\n"
+        "    ),\n"
+        "    tcomp as (select id, min(dst) as comp from twalk group by id),\n"
+        "    tmemq as (\n"
+        "      select c.id, c.comp, cl.quality as q\n"
+        "      from tcomp c join clean cl on cl.doc_id = c.id\n"
+        "    ),\n"
+        "    tranked as (\n"
+        "      select id, row_number() over (\n"
+        "        partition by comp order by q desc, id asc) as rk\n"
+        "      from tmemq\n"
+        "    ),\n"
+        "    tlosers as (select id from tranked where rk > 1),\n"
+        "    kept as (\n"
+        "      select * from clean where doc_id not in (select id from tlosers)\n"
+        "    ),\n"
+        # stage 4: per-source token-budget mix (3000 tokens/source)
+        "    mpri as (\n"
+        f"      select source, doc_id, quality as n_tokens, {mix_prio} as mp\n"
+        "      from kept\n"
+        "    ),\n"
+        "    mcum as (\n"
+        "      select source, doc_id, n_tokens,\n"
+        "             sum(n_tokens) over (partition by source\n"
+        "                 order by mp desc, doc_id asc\n"
+        "                 rows between unbounded preceding and current row)\n"
+        "               as cum_tokens\n"
+        "      from mpri\n"
+        "    ),\n"
+        "    mixed as (\n"
+        f"      select source, doc_id, n_tokens from mcum\n"
+        f"      where cum_tokens - n_tokens < {MIX_BUDGET_TOKENS}\n"
+        "    ),\n"
+        # stage 5: sequence packing into 256-token chunks
+        "    ppri as (\n"
+        f"      select source, doc_id, n_tokens, {pack_prio} as pp from mixed\n"
+        "    ),\n"
+        "    pcum as (\n"
+        "      select source, doc_id, n_tokens,\n"
+        "             sum(n_tokens) over (partition by source\n"
+        "                 order by pp desc, doc_id asc\n"
+        "                 rows between unbounded preceding and current row)\n"
+        "               - n_tokens as _before\n"
+        "      from ppri\n"
+        "    )\n"
+        "    select source, cast(doc_id as bigint) as doc_id, n_tokens,\n"
+        f"           cast(floor(_before / {MIX_PACK_SEQ}) as bigint) as chunk_id,\n"
+        f"           cast(_before % {MIX_PACK_SEQ} as bigint) as chunk_off\n"
+        "    from pcum"
+    )
+
+
 QUALITY_QUERIES = {
     "repetition_stats": q_repetition_stats,
     "benchmark_decontaminate": q_benchmark_decontaminate,
@@ -688,6 +885,7 @@ QUALITY_QUERIES = {
     "pack_chunks": q_pack_chunks,
     "split_long_docs": q_split_long_docs,
     "top_quality_per_source": q_top_quality_per_source,
+    "training_mix_pipeline": q_training_mix_pipeline,
 }
 
 
@@ -703,4 +901,5 @@ def quality_oracles() -> "dict[str, str]":
         "pack_chunks": oracle_pack_chunks(),
         "split_long_docs": oracle_split_long_docs(),
         "top_quality_per_source": oracle_top_quality_per_source(),
+        "training_mix_pipeline": oracle_training_mix_pipeline(),
     }

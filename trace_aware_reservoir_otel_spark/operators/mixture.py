@@ -195,6 +195,7 @@ def top_quality_per_source(
     keep_den: int,
     source_col: str = "source",
     id_col: str = "doc_id",
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Per-source quality-percentile selection: within each source keep
     the ceil(n * keep_num / keep_den) highest-quality documents (ties ->
@@ -203,7 +204,9 @@ def top_quality_per_source(
     (keep_num/keep_den) so the cutoff is integer-exact in both engines
     (a float frac*n ceil is off-by-one prone: ceil(0.3*10) can be 4).
 
-    Returns (source, id_col, quality, q_rank) for kept docs.
+    Returns (source, id_col, quality, q_rank [, carry_cols...]) for kept
+    docs — `carry_cols` rides payload columns (e.g. text) through the
+    gate so pipeline compositions need no join back to the corpus.
 
     Shape at 100 TB: ONE shuffle — both window functions (rank and
     per-source count) share the partitionBy(source) Exchange; the sort is
@@ -218,6 +221,7 @@ def top_quality_per_source(
         F.col(source_col).alias("source"),
         F.col(id_col).alias(id_col),
         quality_col.cast("long").alias("quality"),
+        *[F.col(c) for c in carry_cols],
     )
     w_rank = W.partitionBy("source").orderBy(
         F.col("quality").desc(), F.col(id_col).asc()
@@ -233,4 +237,5 @@ def top_quality_per_source(
         F.col(id_col).cast("long").alias(id_col),
         "quality",
         F.col("q_rank").cast("long").alias("q_rank"),
+        *[F.col(c) for c in carry_cols],
     )
