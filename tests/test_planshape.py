@@ -236,3 +236,45 @@ def test_corpus_prep_full_gates_are_broadcast_anti_joins(spark, sf_dir):
     # the only sort-merge allowed would be none at all: flagged-id sets ride
     # broadcast, survivor selection is a window (Sort+Exchange, not a join)
     assert "SortMergeJoin" not in plan
+
+
+def test_training_mix_pipeline_two_downstream_exchanges_no_smj(spark, sf_dir):
+    """The capstone composition's final-stage plan: the checkpointed
+    clean-corpus subtree leaves AT MOST the two per-source window
+    exchanges (mix, pack) downstream — zero when the checkpoint's
+    preserved source partitioning satisfies them outright — with zero
+    sort-merge joins. Without the checkpoint the same plan carried 19
+    exchanges (the gate+decontamination subtree re-ran per consumer)."""
+    from trace_aware_reservoir_otel_spark.contract_quality import (
+        q_training_mix_pipeline,
+    )
+
+    plan = _plan_of(q_training_mix_pipeline(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 2, f"expected <=2 window exchanges, plan has {n_ex}:\n{plan}"
+
+
+def test_incremental_dedup_probe_shape(spark, tmp_path):
+    """The index probe must be a LEFT SEMI join (existence only — no pair
+    fan-out) and the final survivor drop a broadcast anti-join; the batch
+    never sort-merge joins the index."""
+    from trace_aware_reservoir_otel_spark.operators.dedup import (
+        incremental_dedup_survivors,
+        minhash_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} q{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mhidx")
+    minhash_index(hist, idx, num_hashes=8, n=3, bands=4, seed=7)
+    batch = spark.createDataFrame(
+        [(100 + i, f"a{i} b{i} c{i} d{i} e{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan_of(incremental_dedup_survivors(batch, idx))
+    assert "LeftSemi" in plan, plan
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan), plan

@@ -737,6 +737,14 @@ def q_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont_ids = decontaminate(gated, bench, n=DECON_N).select("doc_id")
     clean = gated.join(F.broadcast(cont_ids), "doc_id", "left_anti")
+    # `clean` feeds THREE consumers (signatures, survivor quality rank,
+    # survivor anti-join) and Catalyst does not reuse the gated-corpus
+    # subtree across them — without a materialization the quality-gate
+    # window + decontamination rerun per consumer (4x gate exchanges in
+    # the measured plan). Lazy localCheckpoint computes it once into
+    # executor block storage — the shingle-set pattern from
+    # ngram_jaccard_pairs.
+    clean = clean.localCheckpoint(eager=False)
 
     sig = minhash_signatures(
         clean, MINHASHES, SHINGLE_N, portable=True, seed=SEED
