@@ -326,8 +326,16 @@ def test_connected_components_and_survivors(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
         "doc_a long, doc_b long",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert comp == want
+    # the distributed propagation path (forced past the driver union-find
+    # fast path) must produce identical labels
+    dist = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert dist == want
 
     docs = spark.createDataFrame(
         [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 12, 20, 21, 99)],
@@ -339,7 +347,9 @@ def test_connected_components_and_survivors(spark):
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_iter=1)  # chain needs > 1 round
+        # chain needs > 1 propagation round; driver_max_edges=0 forces the
+        # distributed path so the non-convergence contract stays testable
+        connected_components(edges, max_iter=1, driver_max_edges=0)
 
 
 def test_connected_components_edge_plan_executes_once(spark):
@@ -366,10 +376,11 @@ def test_connected_components_edge_plan_executes_once(spark):
     tapped = edges.mapInPandas(tap, edges.schema)
     comp = {r["id"]: r["comp"] for r in connected_components(tapped).collect()}
     assert comp == {i: 1 for i in range(1, 9)}
-    # sym unions the edge frame twice, so one materialization reads each
-    # edge row exactly twice; per-round re-execution would multiply this
-    # by the number of rounds (>= 3 here)
-    assert acc.value == 2 * len(raw), acc.value
+    # the DIRECTED edge list is checkpointed before symmetrization (round
+    # 6), so the caller's edge plan executes exactly ONCE — each edge row
+    # flows a single time; per-round or per-union-branch re-execution
+    # would multiply this
+    assert acc.value == len(raw), acc.value
 
 
 def test_ivf_index_probe_prunes_partitions(spark, tmp_path_factory):

@@ -187,6 +187,14 @@ def lsh_candidate_pairs(
     Pairs emerge from a self-join per bucket (skew-capped at
     `max_bucket` — see lsh_band_rows)."""
     band_rows = lsh_band_rows(signatures, bands, id_col, max_bucket)
+    # the self-join consumes band_rows TWICE and Catalyst does not reuse
+    # the subtree: without a materialization the entire signature pipeline
+    # (shingle explode + H hashes per shingle + groupBy + band window)
+    # executes once per join side (measured at sf1.0: both plan branches
+    # identical, no ReusedExchange). Lazy localCheckpoint computes it once
+    # into executor block storage — the same pattern as ngram_jaccard_pairs'
+    # shingle set; size is O(docs * bands), far below the shingle explode.
+    band_rows = band_rows.localCheckpoint(eager=False)
     a = band_rows.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_a")
     )
@@ -450,11 +458,61 @@ def simhash_near_pairs(
 # --- duplicate clustering (connected components over near-dup pairs) ---------
 
 
+def _cc_driver_union_find(sym: DataFrame) -> DataFrame:
+    """Exact min-label components via a driver-side union-find over an
+    already-materialized (a, b) symmetric edge frame. Only called when the
+    edge count is under _CC_DRIVER_MAX_EDGES — the edge list is
+    O(duplicate pairs), already broadcast-sized downstream, so the collect
+    is bounded by construction. Replaces O(rounds) Spark jobs (each a
+    join + groupBy + count action) with one collect — the per-round job
+    overhead dominated every small-pair CC consumer (measured: SemDeDup's
+    ~20-pair component step cost seconds of pure round overhead).
+
+    Labels are identical to the propagation fixpoint: component id =
+    min member id (unique fixpoint, engine-independent)."""
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    out = [(v, comp_min[find(v)]) for v in parent]
+    from pyspark.sql import types as T
+
+    id_type = sym.schema[0].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("comp", id_type)]
+    )
+    return sym.sparkSession.createDataFrame(out, schema)
+
+
+_CC_DRIVER_MAX_EDGES = 2_000_000  # symmetric rows; ~32 MB of (long, long)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    driver_max_edges: int = _CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """(id, component) for every vertex of the undirected near-duplicate
     edge list; component = the smallest member id — the missing step
@@ -478,14 +536,24 @@ def connected_components(
 
     Raises RuntimeError if max_iter rounds do not reach the fixpoint
     (returning a half-converged labeling would silently under-merge)."""
-    sym = edges.select(
+    # materialize the DIRECTED edge list once, BEFORE symmetrizing: the
+    # union's two branches would otherwise each execute the caller's
+    # (typically expensive — LSH candidate generation, within-cell cosine)
+    # edge plan — measured 2x the pair cost on SemDeDup. The symmetrized
+    # frame is then derived from the checkpointed RDD and checkpointed
+    # itself so each propagation round still joins a materialized `sym`.
+    e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    # materialize the symmetrized edge list ONCE: each round joins `sym`
-    # against the labels, and without this the caller's (typically
-    # expensive — full MinHash-LSH candidate generation) edge plan would
-    # re-execute every round
+    ).localCheckpoint()
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint()
+    # near-dup edge sets are O(duplicates) — when the materialized count is
+    # small (the overwhelmingly common case; the count is free on the
+    # checkpointed RDD), a driver union-find replaces O(rounds) join jobs
+    # with one bounded collect. Above the threshold the distributed
+    # propagation below runs unchanged.
+    if sym.count() <= driver_max_edges:
+        return _cc_driver_union_find(sym)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -794,13 +862,15 @@ def minhash_index_append(
     index_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    key: "str | None" = None,
 ) -> int:
     """Extend the committed index with a new batch (typically the batch's
     dedup SURVIVORS, after incremental_dedup_survivors): hash ONLY the
     batch under the stored knobs and append as an immutable delta
     (commit_append) — O(batch), no rescan. Per-delta bucket caps mean a
     bucket can exceed max_bucket across deltas; existence semantics are
-    unaffected (see lsh_band_rows)."""
+    unaffected (see lsh_band_rows). `key` stamps the append for replay
+    detection (commit.commit_append idempotency tag)."""
     from trace_aware_reservoir_otel_spark.plans import commit
 
     k = _minhash_knobs(index_dir)
@@ -810,7 +880,9 @@ def minhash_index_append(
     rows = lsh_band_rows(sig, k["bands"], id_col, k["max_bucket"]).select(
         F.col(id_col).alias(k["id_col"]), "band", "bucket"
     )
-    return commit.commit_append(rows, f"{index_dir}/buckets", partition_by=["band"])
+    return commit.commit_append(
+        rows, f"{index_dir}/buckets", partition_by=["band"], key=key
+    )
 
 
 def _batch_band_rows(

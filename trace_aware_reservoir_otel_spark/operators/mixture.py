@@ -19,13 +19,20 @@ progress for every non-empty source).
 Shape at scale: ONE shuffle — the window partitionBy(source) — and the
 running sum is a spill-safe sort-based window, never a collect. The fact
 table is scanned once with only (id, source, n_tokens-bearing) columns.
-With a skewed mega-source, the cumulative window sorts that source on one
-task chain; callers can bound it by pre-filtering on priority (budgets
-are fixed while the corpus grows, so at 100 TB the selected prefix is a
-vanishing fraction — a cheap ``prio >= t`` pre-pass with a conservative
-threshold t from a sampled token-rate estimate keeps the sort O(selected)
-rather than O(source); the exact window below then runs on survivors
-only and semantics are unchanged).
+
+Mega-source guard (round-5 verdict #2, IMPLEMENTED here as
+``_prefix_prefilter``): a per-source window sort is serial in one task
+chain, so a source owning half a 100-TB corpus would make that task the
+job. Both selection operators therefore run a cheap exact pre-pass first:
+bucket the ordering key coarsely, aggregate the per-(source, bucket)
+token/row mass (map-side combined, O(sources x buckets) output), and drop
+every bucket whose strictly-better buckets already exhaust the
+budget/keep-count — provably unselected rows never reach the window, so
+the sort is O(selected + one boundary bucket) instead of O(source).
+Bucket granularity keeps ties whole, so the surviving set is a superset
+of the selected set and the exact window below is semantically unchanged
+(oracle rows identical; asserted by tests/test_mixture.py's skewed
+fixtures).
 """
 
 from __future__ import annotations
@@ -33,6 +40,66 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from trace_aware_reservoir_otel_spark.functions.hashing import pbig
+
+
+def _prefix_prefilter(
+    base: DataFrame,
+    bucket_col: Column,
+    mass_col: Column,
+    limit_col: "Column | None" = None,
+    limit_from_total=None,
+    carry_total: "str | None" = None,
+) -> DataFrame:
+    """Drop rows that provably cannot be in the per-source top prefix.
+
+    ``bucket_col``: coarse ordering bucket (HIGHER bucket = strictly
+    earlier in the selection order for every row of a lower bucket).
+    ``mass_col``: each row's contribution to the prefix limit (tokens for
+    budget mixes, 1 for rank gates). ``limit_col``: the per-source limit.
+    A bucket B of source s survives iff the total mass of buckets > B is
+    still below s's limit — any row of a dropped bucket has at least that
+    mass strictly before it, so the exact window's filter would drop it
+    anyway. `limit_col` is a row-level limit expression (max-aggregated —
+    exact for per-source-constant budgets, conservative otherwise);
+    `limit_from_total` instead derives the limit from the source's TOTAL
+    mass (rank gates: K = f(n)). With `carry_total`, the per-source total
+    mass is broadcast-joined back under that column name (rank gates need
+    the full n after filtering). Cost: one map-side-combined aggregation
+    at (source, bucket) grain + a broadcast of O(sources) thresholds."""
+    tagged = base.withColumn("_pfb", bucket_col)
+    aggs = [F.sum(mass_col).alias("_m")]
+    if limit_col is not None:
+        aggs.append(F.max(limit_col).alias("_lim"))
+    stats = tagged.groupBy("source", "_pfb").agg(*aggs)
+    # both windows share the partitionBy(source) exchange; threshold and
+    # total fold into ONE per-source frame broadcast once (each extra
+    # stage/broadcast here is a fixed per-query job cost)
+    wtot = W.partitionBy("source")
+    wb = (
+        W.partitionBy("source")
+        .orderBy(F.col("_pfb").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    s2 = stats.withColumn("_tot", F.sum("_m").over(wtot)).withColumn(
+        "_before", F.coalesce(F.sum("_m").over(wb), F.lit(0))
+    )
+    if limit_from_total is not None:
+        s2 = s2.withColumn("_lim", limit_from_total(F.col("_tot")))
+    thr = s2.filter(F.col("_before") < F.col("_lim")).groupBy("source").agg(
+        F.min("_pfb").alias("_pf_thr"), F.max("_tot").alias("_pf_tot")
+    )
+    out = (
+        tagged.join(F.broadcast(thr), on="source")
+        .filter(F.col("_pfb") >= F.col("_pf_thr"))
+        .drop("_pfb", "_pf_thr")
+    )
+    if carry_total is not None:
+        out = out.withColumn(carry_total, F.col("_pf_tot"))
+    return out.drop("_pf_tot")
+
+
+_PRIO_BUCKET_SHIFT = 40  # 52-bit priority -> 4096 coarse buckets
+_QUALITY_BUCKET_SHIFT = 6
 
 
 def token_budget_mix(
@@ -65,6 +132,16 @@ def token_budget_mix(
         tokens_col.cast("long").alias("n_tokens"),
         budget_col.cast("long").alias("_budget"),
         prio.alias("_prio"),
+    )
+    # mega-source guard: drop priority buckets whose better buckets already
+    # exhaust the budget, so the window sorts O(selected) rows, not
+    # O(source) — exact (bucket granularity keeps ties whole; see
+    # _prefix_prefilter) and a near-no-op when every row is selected
+    base = _prefix_prefilter(
+        base,
+        F.shiftright(F.col("_prio"), _PRIO_BUCKET_SHIFT),
+        F.col("n_tokens"),
+        limit_col=F.col("_budget"),
     )
     w = (
         W.partitionBy("source")
@@ -223,15 +300,28 @@ def top_quality_per_source(
         quality_col.cast("long").alias("quality"),
         *[F.col(c) for c in carry_cols],
     )
+    # mega-source guard: drop quality buckets whose better buckets already
+    # hold >= K rows (K = ceil(n*num/den), derived from the SAME pre-pass
+    # totals), so the rank window sorts O(selected) rows instead of
+    # O(source). Ranks of surviving rows equal their global ranks (every
+    # row ordered before a survivor also survives — bucket granularity),
+    # so the output is bit-identical; the per-source n rides along as
+    # _n_total, replacing the former count-over-window.
+    base = _prefix_prefilter(
+        base,
+        F.shiftright(F.col("quality"), _QUALITY_BUCKET_SHIFT),
+        F.lit(1).cast("long"),
+        limit_from_total=lambda tot: F.floor(
+            (tot * keep_num + (keep_den - 1)) / keep_den
+        ),
+        carry_total="_n_total",
+    )
     w_rank = W.partitionBy("source").orderBy(
         F.col("quality").desc(), F.col(id_col).asc()
     )
-    w_all = W.partitionBy("source")
-    ranked = base.withColumn("q_rank", F.row_number().over(w_rank)).withColumn(
-        "_n", F.count(F.lit(1)).over(w_all)
-    )
+    ranked = base.withColumn("q_rank", F.row_number().over(w_rank))
     # ceil(n*num/den) via integer floor-div (exact below 2^53)
-    cutoff = F.floor((F.col("_n") * keep_num + (keep_den - 1)) / keep_den)
+    cutoff = F.floor((F.col("_n_total") * keep_num + (keep_den - 1)) / keep_den)
     return ranked.filter(F.col("q_rank") <= cutoff).select(
         "source",
         F.col(id_col).cast("long").alias(id_col),

@@ -71,6 +71,95 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --- fixed-dimension unrolled forms ------------------------------------------
+#
+# The generic folds above are higher-order functions, which Spark evaluates
+# INTERPRETED per element (no whole-stage codegen) — measured as the
+# dominant cost of every pairwise-cosine operator. When the dimension is
+# known (it always is: embedding corpora are fixed-width), the same
+# arithmetic unrolls into a plain left-associated expression chain that
+# codegen compiles: ((0.0 + a0*b0) + a1*b1) + ... is BIT-IDENTICAL to the
+# fold's summation order (and a repr() double literal round-trips to the
+# identical IEEE754 value through Spark's SQL parser), so results — and
+# the DuckDB oracle match — are unchanged.
+#
+# The chains are built as ONE SQL string handed to F.expr, not as chained
+# Column operators: each PySpark Column op is a py4j round-trip, and the
+# operator form cost ~6s of pure DRIVER time per ivf_assign construction
+# (16 centroids x 64 dims x ~4 calls). Callers pass column NAMES of
+# pre-projected attributes, not expressions — the unrolled form references
+# its input `dim` times.
+
+
+def _dbl(x: float) -> str:
+    return f"{float(x)!r}D"
+
+
+def _dot_fixed_sql(a: str, b: str, dim: int) -> str:
+    s = "0.0D"
+    for i in range(dim):
+        s = f"({s} + (`{a}`[{i}] * `{b}`[{i}]))"
+    return s
+
+
+def dot_fixed(a: str, b: str, dim: int) -> Column:
+    return F.expr(_dot_fixed_sql(a, b, dim))
+
+
+def _dot_const_sql(a: str, vec: "list[float]") -> str:
+    s = "0.0D"
+    for i, x in enumerate(vec):
+        s = f"({s} + (`{a}`[{i}] * {_dbl(x)}))"
+    return s
+
+
+def dot_const(a: str, vec: "list[float]") -> Column:
+    """Unrolled dot against a Python constant vector — same summation
+    order as dot(a, F.array(*lits))."""
+    return F.expr(_dot_const_sql(a, vec))
+
+
+def _norm_fixed_sql(a: str, dim: int) -> str:
+    s = "0.0D"
+    for i in range(dim):
+        s = f"({s} + (`{a}`[{i}] * `{a}`[{i}]))"
+    return f"SQRT({s})"
+
+
+def norm_fixed(a: str, dim: int) -> Column:
+    return F.expr(_norm_fixed_sql(a, dim))
+
+
+def _pin(col: Column) -> Column:
+    """Pin an expensive expression in place (guide §4.4): the always-true
+    rand() guard marks it non-deterministic, so the optimizer can neither
+    push a consumer filter below it nor fold it into a join condition —
+    without this, the exact round(sim) filter collapses into the
+    BroadcastHashJoin condition NEXT TO the raw-margin prefilter, the
+    generated join method carries the unrolled dot TWICE, outgrows what
+    HotSpot will JIT, and the whole pair stage runs interpreted. The VALUE
+    is bit-identical (the branch is always taken).
+
+    rand() gets a FIXED seed: an analysis-time random seed would differ
+    per plan instance, change the generated source, and miss the codegen
+    class cache — every re-run would then pay JIT warm-up on a brand-new
+    class (measured ~19s on the SemDeDup pair stage) instead of reusing
+    the already-hot one."""
+    return F.when(F.rand(42) < 2.0, col)
+
+
+def _py_norm(vec: "list[float]") -> float:
+    """Driver-side norm with the SAME op order as the `norm` fold (0.0,
+    then += x*x left to right, then sqrt) — IEEE754 doubles in Python and
+    the JVM agree bit-for-bit, so embedding it as a literal is exact."""
+    import math
+
+    s = 0.0
+    for x in vec:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: "list[float]",
@@ -84,13 +173,20 @@ def cosine_topk(
     Narrow scan + TakeOrderedAndProject — the exact baseline at any scale.
     Rounding the similarity (default 6 digits) before ranking makes the
     result robust to last-ulp float summation differences across engines
-    (ties broken by id)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    emb = _to_double(F.col(vec_col))
-    sim = cosine(emb, q)
+    (ties broken by id).
+
+    Per-row math is the unrolled fixed-dim form (codegen, not interpreted
+    HOF folds) with the query's norm precomputed driver-side — the same
+    left-to-right summation order as the folds, so values are bit-
+    identical (oracle rows unchanged)."""
+    dim = len(query_vec)
+    base = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+    sim = dot_const("_v", query_vec) / (
+        norm_fixed("_v", dim) * F.lit(_py_norm(query_vec))
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    scored = df.select(F.col(id_col), sim.alias("sim"))
+    scored = base.select(F.col(id_col), sim.alias("sim"))
     return scored.orderBy(F.col("sim").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -135,7 +231,13 @@ def hyperplane_coefs(
 
 
 def _projection(qv: Column, coef: "list[int]") -> Column:
-    """Exact-integer projection of the quantized vector onto a ±1 plane."""
+    """Exact-integer projection of the quantized vector onto a ±1 plane.
+
+    Stays a fold (NOT the unrolled form): tables*bands*planes*dim unrolled
+    terms explode generated code (measured: driver OOM compiling the
+    16-bucket struct array at dim=64). The caller pre-projects the
+    quantized vector instead, which removes the repeated per-projection
+    quantization — same integer results."""
     plane = F.array(*[F.lit(c).cast("long") for c in coef])
     return F.aggregate(
         F.zip_with(qv, plane, lambda x, y: x * y),
@@ -159,8 +261,16 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, tb, band, bucket) — one row per (table, band); narrow (no
-    vector payload), so the bucket shuffle moves ids + 3 ints only."""
-    qv = _quantized(F.col(vec_col))
+    vector payload), so the bucket shuffle moves ids + 3 ints only.
+
+    The quantized vector is materialized ONCE per row into an attribute
+    column before the (heavily unrolled) bucket expressions reference it —
+    without that projection each of the tables*bands*planes*dim references
+    would re-expand the transform() subtree."""
+    base = df.select(
+        F.col(id_col), _quantized(F.col(vec_col)).alias("_q")
+    )
+    qv = F.col("_q")
     entries = []
     for t, table in enumerate(coefs):
         for b, band in enumerate(table):
@@ -171,7 +281,7 @@ def hyperplane_buckets(
                     _bucket_expr(qv, band).alias("bucket"),
                 )
             )
-    return df.select(
+    return base.select(
         F.col(id_col), F.explode(F.array(*entries)).alias("e")
     ).select(id_col, "e.tb", "e.band", "e.bucket")
 
@@ -247,9 +357,11 @@ def embedding_near_pairs(
     shuffles once on id, never pairwise). Identical vectors share every
     bucket, so exact-duplicate recall is 1.0 by construction; near-pair
     recall is the OR over tables*bands band-collisions."""
-    coefs = hyperplane_coefs(
-        _dim_of(df, vec_col), tables, bands, planes_per_band, seed
-    )
+    from trace_aware_reservoir_otel_spark.operators.dedup import scale_out
+
+    dim = _dim_of(df, vec_col)
+    df = scale_out(df)  # bucket projections amplify CPU ~10^3x per byte
+    coefs = hyperplane_coefs(dim, tables, bands, planes_per_band, seed)
     buckets = hyperplane_buckets(df, coefs, vec_col, id_col)
     from pyspark.sql import Window as W
 
@@ -259,6 +371,9 @@ def embedding_near_pairs(
         .filter(F.col("_rn") <= max_bucket)
         .drop("_rn")
     )
+    # self-join consumes `capped` twice — materialize the bucket rows once
+    # (the full quantize+project pipeline would otherwise run per side)
+    capped = capped.localCheckpoint(eager=False)
     a = capped.select("tb", "band", "bucket", F.col(id_col).alias("id_a"))
     b = capped.select("tb", "band", "bucket", F.col(id_col).alias("id_b"))
     pairs = (
@@ -267,20 +382,25 @@ def embedding_near_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # per-side norms precomputed once per row; the per-pair work is one
+    # unrolled dot — same values bit-for-bit as the fold-per-pair form
     va = df.select(
         F.col(id_col).alias("id_a"), _to_double(F.col(vec_col)).alias("_va")
-    )
+    ).withColumn("_na", norm_fixed("_va", dim))
     vb = df.select(
         F.col(id_col).alias("id_b"), _to_double(F.col(vec_col)).alias("_vb")
-    )
-    sim = cosine(F.col("_va"), F.col("_vb"))
+    ).withColumn("_nb", norm_fixed("_vb", dim))
+    raw = dot_fixed("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
+    sim = F.round(raw, round_digits) if round_digits is not None else raw
+    joined = pairs.join(va, on="id_a").join(vb, on="id_b")
     if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    return (
-        pairs.join(va, on="id_a")
-        .join(vb, on="id_b")
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= threshold)
+        # sound raw prefilter before the per-pair BigDecimal round — see
+        # semdedup_pairs; same rows out, bit-identical sims
+        joined = joined.filter(
+            raw >= F.lit(threshold - 2.0 * 10.0 ** (-round_digits))
+        )
+    return joined.select("id_a", "id_b", _pin(sim).alias("sim")).filter(
+        F.col("sim") >= threshold
     )
 
 
@@ -382,51 +502,77 @@ def ivf_assign(
             *([_to_double(F.col(vec_col)).alias("_vec")] if keep_vec else []),
         ).limit(0)
 
-    def _py_norm(vec: "list[float]") -> float:
-        # same op order as the `norm` fold (0.0, then += x*x left to right),
-        # so the literal is bit-identical to what the JVM fold would produce
-        import math
-
-        s = 0.0
-        for x in vec:
-            s += float(x) * float(x)
-        return math.sqrt(s)
-
+    # _py_norm literal: same op order as the `norm` fold, bit-identical.
+    # Per-row math is the unrolled fixed-dim form (dot_const/norm_fixed),
+    # and the argmax is array_min over (ns, centroid_id, sim) structs —
+    # NO higher-order function anywhere, so the whole projection is
+    # whole-stage-codegen (the former F.aggregate fold was a
+    # CodegenFallback evaluated interpreted per row — measured 3.4x slower
+    # on the contract ivf_assign query).
+    #
+    # Equivalence with the fold's pick rule (max sim, ties -> smallest
+    # centroid_id, NaN sims never win, all-NaN/empty -> (null, -2.0)):
+    #  - ns = -(sim + 0.0): +0.0 normalizes -0.0 so the ORDERING ties
+    #    exactly where the fold's primitive == did (Double.compare would
+    #    otherwise order -0.0 < 0.0); the struct's third field keeps the
+    #    ORIGINAL rounded sim bits for output. NaN ns sorts greatest
+    #    (Spark total order), so NaN sims lose to any real sim.
+    #  - the sentinel (ns=2.0 > any -sim, cid=null, sim=-2.0) wins only
+    #    when every centroid sim is NaN — the fold's untouched-accumulator
+    #    case, same output.
+    dim = len(cent_rows[0][1])
     scored = df.select(
         F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_vn", norm(F.col("_v")))
-    structs = [
-        F.struct(
-            F.round(
-                dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in vec]))
-                / (F.col("_vn") * F.lit(_py_norm(vec))),
-                round_digits,
-            ).alias("sim"),
-            F.lit(cid).cast(id_type).alias("centroid_id"),
-        )
-        for cid, vec in cent_rows
+    ).withColumn("_vn", norm_fixed("_v", dim))
+    # stage 1: each centroid's rounded sim as its own column — every sim
+    # expression appears in the plan EXACTLY ONCE (the former shape
+    # embedded them inside the argmax structure, where multi-reference of
+    # the result re-expanded them and planning/eval cost blew up)
+    sim_cols = [
+        F.expr(
+            f"round(({_dot_const_sql('_v', vec)}) / "
+            f"(`_vn` * {_dbl(_py_norm(vec))}), {int(round_digits)})"
+        ).alias(f"_s{i}")
+        for i, (_cid, vec) in enumerate(cent_rows)
     ]
-    zero = F.struct(
-        F.lit(-2.0).alias("sim"), F.lit(None).cast(id_type).alias("centroid_id")
-    )
-    better = lambda acc, x: F.when(  # noqa: E731 — fold step
-        (x["sim"] > acc["sim"])
-        | ((x["sim"] == acc["sim"]) & (x["centroid_id"] < acc["centroid_id"])),
-        x,
-    ).otherwise(acc)
-    # chunked fold: each chunk's aggregate seeds the next (max is
-    # associative), so a single array literal never exceeds ~256 structs —
-    # keeps codegen'd expression size bounded at any n_centroids instead
-    # of the former "split beyond ~10^3" caveat
-    chunk = 256
-    best = zero
-    for i in range(0, len(structs), chunk):
-        best = F.aggregate(F.array(*structs[i : i + chunk]), best, better)
-    return scored.select(
+    wide = scored.select(
         F.col(id_col),
-        best["centroid_id"].alias("centroid_id"),
-        best["sim"].alias("sim"),
+        *([F.col("_v")] if keep_vec else []),
+        *sim_cols,
+    )
+    # stage 2: argmin over (ns, centroid_id, sim) structs built from the
+    # CHEAP attribute refs of stage 1
+    entries = [
+        F.struct(
+            (-(F.col(f"_s{i}") + F.lit(0.0))).alias("ns"),
+            F.lit(cid).cast(id_type).alias("centroid_id"),
+            F.col(f"_s{i}").alias("sim"),
+        )
+        for i, (cid, _vec) in enumerate(cent_rows)
+    ]
+    sentinel = F.struct(
+        F.lit(2.0).alias("ns"),
+        F.lit(None).cast(id_type).alias("centroid_id"),
+        F.lit(-2.0).alias("sim"),
+    )
+    # chunked min-of-mins (min is associative): one array literal never
+    # exceeds ~256 structs, so expression size stays bounded at any
+    # n_centroids
+    chunk = 256
+    mins = [
+        F.array_min(F.array(*entries[i : i + chunk]))
+        for i in range(0, len(entries), chunk)
+    ]
+    picked = wide.select(
+        F.col(id_col),
+        F.array_min(F.array(sentinel, *mins)).alias("_b"),
         *([F.col("_v").alias("_vec")] if keep_vec else []),
+    )
+    return picked.select(
+        F.col(id_col),
+        F.col("_b")["centroid_id"].alias("centroid_id"),
+        F.col("_b")["sim"].alias("sim"),
+        *([F.col("_vec")] if keep_vec else []),
     )
 
 
@@ -697,6 +843,30 @@ def ann_topk_ivf(
     return cosine_topk(cand, query_vec, k, vec_col, id_col, round_digits)
 
 
+_SEMDEDUP_REFS = 4  # reference directions for the angle-band prefilter
+
+
+def _ref_dirs(dim: int, n: int, seed: int = 42) -> "list[list[float]]":
+    """Deterministic ±1 reference directions for the angle-band prefilter
+    (md5-derived like hyperplane_coefs; pure function of the seed). These
+    only gate which pairs reach the exact cosine — any choice is sound —
+    so determinism is for plan stability, not results."""
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{seed}:semref:{j}:{d}".encode()).hexdigest()[:13],
+                16,
+            )
+            % 2
+            == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n)
+    ]
+
+
 def semdedup_pairs(
     df: DataFrame,
     centroids: "DataFrame | list",
@@ -719,9 +889,22 @@ def semdedup_pairs(
     cells of |cell|^2, which the centroid count controls (SemDeDup's own
     knob); `max_cell` additionally caps any degenerate cell by keeping
     its smallest-id members only (row_number, spill-safe sort window) so
-    an adversarial cell cannot produce a quadratic blowup."""
-    a = ivf_assign(df, centroids, vec_col, id_col, round_digits, keep_vec=True)
-    a = a.select(id_col, "centroid_id", "_vec")
+    an adversarial cell cannot produce a quadratic blowup.
+
+    Per-task shape: the corpus is scaled out to full parallelism BEFORE
+    assignment (the within-cell join is broadcast-built, so the pair
+    evaluation's parallelism equals the probe side's partition count — a
+    byte-packed 1-2 partition scan would run the whole Σ|cell|² pair work
+    on 1-2 cores); per-side norms are computed once per ROW so the
+    per-pair work is one unrolled dot + one multiply — same values
+    bit-for-bit as the fold-per-pair form."""
+    from trace_aware_reservoir_otel_spark.operators.dedup import scale_out
+
+    dim = _dim_of(df, vec_col)
+    a = ivf_assign(
+        scale_out(df), centroids, vec_col, id_col, round_digits, keep_vec=True
+    )
+    a = a.select(id_col, "centroid_id", "sim", "_vec")
     if max_cell is not None:
         from pyspark.sql import Window
 
@@ -731,24 +914,78 @@ def semdedup_pairs(
             .filter(F.col("_rn") <= max_cell)
             .drop("_rn")
         )
-    left = a.select(
-        F.col(id_col).alias("id_a"),
-        F.col("centroid_id").alias("_cid"),
-        F.col("_vec").alias("_va"),
+    # Per-row precomputes: the vector norm, plus ANGLE-BAND coordinates
+    # against `_SEMDEDUP_REFS` deterministic reference directions (and the
+    # cell centroid, whose rounded sim the assignment already computed).
+    # For ANY reference r, angle(a,b) >= |θ(a,r) - θ(b,r)| (spherical
+    # triangle inequality), so cos(a,b) <= c_a*c_b + s_a*s_b computed per
+    # reference — a pair that misses the threshold band on ANY reference
+    # (with 0.005 slack covering the 1e-6 rounding of the centroid sim and
+    # the sin's error amplification near c=1) provably cannot pass the
+    # exact filter. Each extra reference multiplies selectivity (the
+    # centroid band alone is useless when a cell's members all sit at the
+    # same angle to the centroid — measured 94% pass rate at sf1.0), so
+    # the O(Σ|cell|²) join evaluates a handful of flops per pair and the
+    # full-dimension dot runs on the surviving sliver only. No false
+    # negatives; same rows out, bit-identical sims.
+    a = a.withColumn("_n", norm_fixed("_vec", dim)).withColumn(
+        "_s",
+        F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("sim") * F.col("sim"))),
     )
-    right = a.select(
-        F.col(id_col).alias("id_b"),
-        F.col("centroid_id").alias("_cid"),
-        F.col("_vec").alias("_vb"),
-    )
-    sim = F.round(
-        dot(F.col("_va"), F.col("_vb")) / (norm(F.col("_va")) * norm(F.col("_vb"))),
-        round_digits,
-    )
+    refs = _ref_dirs(dim, _SEMDEDUP_REFS)
+    for j, rv in enumerate(refs):
+        c = dot_const("_vec", rv) / (F.col("_n") * F.lit(_py_norm(rv)))
+        a = a.withColumn(f"_rc{j}", c).withColumn(
+            f"_rs{j}",
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0), F.lit(1.0) - F.col(f"_rc{j}") * F.col(f"_rc{j}")
+                )
+            ),
+        )
+    # both join sides derive from `a` — materialize the assignment once
+    # (the argmax projection would otherwise run per side)
+    a = a.localCheckpoint(eager=False)
+    band_cols = [("sim", "_s")] + [(f"_rc{j}", f"_rs{j}") for j in range(len(refs))]
+
+    def side(idn, suffix):
+        cols = [
+            F.col(id_col).alias(idn),
+            F.col("centroid_id").alias("_cid"),
+            F.col("_vec").alias(f"_v{suffix}"),
+            F.col("_n").alias(f"_n{suffix}"),
+        ]
+        for k, (ccol, scol) in enumerate(band_cols):
+            cols += [
+                F.col(ccol).alias(f"_c{k}{suffix}"),
+                F.col(scol).alias(f"_s{k}{suffix}"),
+            ]
+        return a.select(*cols)
+
+    left, right = side("id_a", "a"), side("id_b", "b")
+    slack = F.lit(threshold - 0.005)
+    band_ok = None
+    for k in range(len(band_cols)):
+        ok = (
+            F.col(f"_c{k}a") * F.col(f"_c{k}b")
+            + F.col(f"_s{k}a") * F.col(f"_s{k}b")
+        ) >= slack
+        band_ok = ok if band_ok is None else (band_ok & ok)
+    raw = dot_fixed("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
+    # the exact math runs only on band survivors, and in two further
+    # stages: the raw dot (pinned out of the join via _pin so it cannot
+    # fold into the join condition and bloat the generated join method)
+    # against threshold - 0.5*10^-d (round(x,d) >= T implies x >= T-5e-7),
+    # then the exact BigDecimal round — which was the dominant per-pair
+    # cost when it ran for every pair — on near-threshold survivors only.
+    margin = threshold - 2.0 * 10.0 ** (-round_digits)
     return (
         left.join(right, "_cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", sim)
+        .filter(band_ok)
+        .withColumn("_raw", _pin(raw))
+        .filter(F.col("_raw") >= F.lit(margin))
+        .withColumn("sim", F.round(F.col("_raw"), round_digits))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -801,23 +1038,40 @@ def semantic_decontaminate(
     (ivf_assign's chunked literal-fold argmax — no join, no shuffle) +
     one broadcast join; only the flagged pairs (O(benchmark leaks), not
     O(corpus)) reach the final groupBy."""
+    from trace_aware_reservoir_otel_spark.operators.dedup import scale_out
+
+    dim = _dim_of(train, vec_col)
+    # scale the train side out BEFORE assignment: the broadcast join's
+    # parallelism equals the probe side's partition count, and per-side
+    # norms are computed once per row (per-pair work = one unrolled dot) —
+    # same values bit-for-bit as the fold-per-pair form
     ta = ivf_assign(
-        train, centroids, vec_col, id_col, round_digits, keep_vec=True
+        scale_out(train), centroids, vec_col, id_col, round_digits, keep_vec=True
     ).select(id_col, "centroid_id", "_vec")
+    # materialization barrier: single-use alias collapsing would otherwise
+    # cascade the whole assignment argmax INTO the downstream norm/sim/
+    # filter expressions (measured: the composed plan re-expanded the
+    # centroid fold per reference — 8.8s -> 230s at sf1.0 before this)
+    ta = ta.localCheckpoint(eager=False).withColumn(
+        "_nt", norm_fixed("_vec", dim)
+    )
     ba = ivf_assign(
         bench, centroids, vec_col, id_col, round_digits, keep_vec=True
     ).select(
         F.col("centroid_id").alias("_cid"),
         F.col("_vec").alias("_vb"),
-    )
-    sim = F.round(
-        dot(F.col("_vec"), F.col("_vb"))
-        / (norm(F.col("_vec")) * norm(F.col("_vb"))),
-        round_digits,
-    )
+    ).withColumn("_nb", norm_fixed("_vb", dim))
+    # materialize the (fixed-size) benchmark side once: the broadcast
+    # build otherwise re-executes its assignment subplan per action
+    ba = ba.localCheckpoint(eager=False)
+    raw = dot_fixed("_vec", "_vb", dim) / (F.col("_nt") * F.col("_nb"))
+    sim = F.round(raw, round_digits)
     hits = (
         ta.join(F.broadcast(ba), ta["centroid_id"] == ba["_cid"])
-        .withColumn("sim", sim)
+        # sound raw prefilter before the per-pair BigDecimal round — see
+        # semdedup_pairs; same rows out, bit-identical sims
+        .filter(raw >= F.lit(threshold - 2.0 * 10.0 ** (-round_digits)))
+        .withColumn("sim", _pin(sim))
         .filter(F.col("sim") >= threshold)
     )
     return hits.groupBy(id_col).agg(

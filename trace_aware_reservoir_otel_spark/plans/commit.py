@@ -94,6 +94,7 @@ def commit_append(
     df: DataFrame,
     table_dir: str,
     partition_by: "list[str] | None" = None,
+    key: "str | None" = None,
 ) -> int:
     """Append df as a new immutable DELTA directory: the next version's
     data is (previous snapshot's dirs + the new dir), recorded in the
@@ -101,8 +102,16 @@ def commit_append(
     Readers before the swap see the old dir set; after, the full set.
     Previously committed dirs are never rewritten, so appending N batches
     costs O(batch) each, not O(table) — the difference between an
-    incremental index refresh and a rebuild. Returns the new version."""
+    incremental index refresh and a rebuild. Returns the new version.
+
+    `key` (optional) is an idempotency tag recorded in the pointer's
+    accumulated `keys` list (Iceberg's snapshot-summary analog): an
+    at-least-once writer stamps each append with its batch identity and
+    consults `committed_keys` before re-appending, so a replay after a
+    crash between the append-commit and the caller's own applied-mark can
+    be detected instead of re-executed (see streaming/dedup.py)."""
     prev_dirs = _current_dirs(table_dir)
+    prev_keys = committed_keys(table_dir)
     existing = [
         int(d[1:])
         for d in (
@@ -118,11 +127,21 @@ def commit_append(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(vdir)
-    fsutil.write_jsonl_atomic(
-        _pointer_path(table_dir),
-        [{"version": version, "dirs": prev_dirs + [vdir]}],
-    )
+    rec: dict = {"version": version, "dirs": prev_dirs + [vdir]}
+    keys = prev_keys + ([key] if key is not None else [])
+    if keys:
+        rec["keys"] = keys
+    fsutil.write_jsonl_atomic(_pointer_path(table_dir), [rec])
     return version
+
+
+def committed_keys(table_dir: str) -> "list[str]":
+    """Idempotency tags of every append folded into the current snapshot
+    ([] when none were stamped, or after a commit_write reset the chain)."""
+    recs = fsutil.read_jsonl(_pointer_path(table_dir))
+    if not recs:
+        return []
+    return list(recs[-1].get("keys", []))
 
 
 def _current_dirs(table_dir: str) -> "list[str]":

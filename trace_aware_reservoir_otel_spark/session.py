@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # HotSpot refuses to JIT methods over ~8000 bytecodes
+        # (DontCompileHugeMethods default on): whole-stage-codegen'd wide
+        # expressions — the unrolled fixed-dim vector math in
+        # operators/similarity.py — then run JVM-INTERPRETED (measured 22x
+        # on the SemDeDup within-cell pair stage: 22s -> 1s once JIT'd).
+        # Same flag on both roles so a real cluster's executors match
+        # local-mode behavior.
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -15,15 +15,22 @@ sequential fold a nightly ingest job performs. Within-batch duplicates
 are out of scope here as in the batch operator (compose dedup_survivors
 on the batch first if needed).
 
-Replay safety (foreachBatch is at-least-once): index appends are NOT
-naturally idempotent (a replayed batch would append its survivor bucket
-rows twice — harmless for existence semantics but unbounded growth), so
-applied batch_ids are recorded in a crash-safe JSONL manifest AFTER the
-append commits; a replayed batch whose id is already marked only rewrites
-its (batch_id-keyed, overwrite — idempotent) parquet sinks and skips the
-append. Crash between append and mark ⇒ one duplicate delta of bucket
-rows: survivors are unchanged (existence), and the next compaction/rebuild
-absorbs it — fail-safe in the correct direction.
+Replay safety (foreachBatch is at-least-once): once a batch's survivors
+have been appended to the index, RECOMPUTING them is no longer safe — the
+batch's own bucket rows are in the index, every original survivor
+self-collides in the semi-join, and the recomputed survivor set is empty.
+So replay handling never recomputes after an append:
+
+ 1. applied batch_ids are recorded in a crash-safe JSONL manifest AFTER
+    the append commits, and `dedup_batch` checks the manifest FIRST — a
+    replayed applied batch returns before touching any sink (the sinks
+    were all written before the mark, so they are already correct);
+ 2. the append itself is stamped with a batch_id idempotency key in the
+    index's commit pointer (plans/commit.commit_append `key`), so a crash
+    BETWEEN the append-commit and the applied-mark is detected on replay:
+    the batch restores its missing mark and returns — sinks were written
+    before the append, the index already holds the survivors, nothing is
+    recomputed and nothing is appended twice.
 
 Scale shape per batch: one probe (SEMI join of batch band rows against
 the committed index — see incremental_dedup_survivors) + one O(batch)
@@ -67,6 +74,59 @@ def stream_documents(
     )
 
 
+def _append_key(batch_id: int) -> str:
+    return f"batch={int(batch_id)}"
+
+
+def dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the incremental ingest dedup — module-level so
+    the replay suite can invoke it directly with a repeated batch_id.
+
+    Order of operations IS the replay contract (see module docstring):
+    applied-check -> append-key check -> seen sink -> survivor compute ->
+    survivor sink -> keyed index append -> applied mark. The survivor
+    recompute happens only on the path where the index provably does not
+    yet contain this batch (both checks negative), so the self-collision
+    data loss of the pre-fix ordering (compute-then-check) cannot occur."""
+    from trace_aware_reservoir_otel_spark.plans import commit
+
+    if batch_id in _applied_ids(out_dir):
+        return  # replayed applied batch: sinks + index already correct
+    if _append_key(batch_id) in commit.committed_keys(f"{index_dir}/buckets"):
+        # crash landed between the index append and the applied mark: the
+        # sinks were written before the append, the index holds the
+        # survivors — restore the missing mark, recompute nothing
+        fsutil.append_jsonl_atomic(
+            os.path.join(out_dir, _APPLIED), [{"batch_id": int(batch_id)}]
+        )
+        return
+    # one job for the whole batch body: survivors feed two sinks and
+    # the index append, so pin them once
+    batch_df = batch_df.localCheckpoint(eager=True)
+    batch_df.select(id_col).write.mode("overwrite").parquet(
+        f"{out_dir}/seen/batch_id={batch_id}"
+    )
+    surv = incremental_dedup_survivors(
+        batch_df, index_dir, text_col, id_col
+    ).localCheckpoint(eager=True)
+    surv.write.mode("overwrite").parquet(
+        f"{out_dir}/survivors/batch_id={batch_id}"
+    )
+    minhash_index_append(
+        surv, index_dir, text_col, id_col, key=_append_key(batch_id)
+    )
+    fsutil.append_jsonl_atomic(
+        os.path.join(out_dir, _APPLIED), [{"batch_id": int(batch_id)}]
+    )
+
+
 def run_incremental_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -89,24 +149,7 @@ def run_incremental_dedup(
     stream = stream_documents(spark, input_dir, max_files_per_trigger)
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # one job for the whole batch body: survivors feed two sinks and
-        # the index append, so pin them once
-        batch_df = batch_df.localCheckpoint(eager=True)
-        batch_df.select(id_col).write.mode("overwrite").parquet(
-            f"{out_dir}/seen/batch_id={batch_id}"
-        )
-        surv = incremental_dedup_survivors(
-            batch_df, index_dir, text_col, id_col
-        ).localCheckpoint(eager=True)
-        surv.write.mode("overwrite").parquet(
-            f"{out_dir}/survivors/batch_id={batch_id}"
-        )
-        if batch_id in _applied_ids(out_dir):
-            return  # replay: sinks rewritten (idempotent), index already grown
-        minhash_index_append(surv, index_dir, text_col, id_col)
-        fsutil.append_jsonl_atomic(
-            os.path.join(out_dir, _APPLIED), [{"batch_id": batch_id}]
-        )
+        dedup_batch(batch_df, batch_id, index_dir, out_dir, text_col, id_col)
 
     q = (
         stream.writeStream.foreachBatch(per_batch)
