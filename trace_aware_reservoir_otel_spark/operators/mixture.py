@@ -136,7 +136,11 @@ def token_budget_mix(
     # mega-source guard: drop priority buckets whose better buckets already
     # exhaust the budget, so the window sorts O(selected) rows, not
     # O(source) — exact (bucket granularity keeps ties whole; see
-    # _prefix_prefilter) and a near-no-op when every row is selected
+    # _prefix_prefilter) and a near-no-op when every row is selected.
+    # (The stats pre-pass re-evaluates the base projection rather than
+    # materializing it: a narrow-base localCheckpoint was measured SLOWER
+    # at bench scale, and at 100 TB the extra narrow scan is the cheaper
+    # side of the trade too.)
     base = _prefix_prefilter(
         base,
         F.shiftright(F.col("_prio"), _PRIO_BUCKET_SHIFT),

@@ -64,7 +64,6 @@ import os
 from typing import Iterator
 
 import pandas as pd
-from pyspark.errors.exceptions.captured import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -452,6 +451,25 @@ def _metrics_summary(state_dir: str) -> "dict | None":
 
 def _metrics_path(state_dir: str) -> str:
     return os.path.join(state_dir, "metrics.jsonl")
+
+
+def _bucket_counts_from_footers(batch_dir: str) -> "dict[str, int]":
+    """Per-export-bucket row counts of a just-written spill partition,
+    from the parquet FOOTERS (exact row counts; no Spark job, no data
+    read). O(files in one micro-batch) driver work."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    counts: "dict[str, int]" = {}
+    for leaf in _glob.glob(os.path.join(batch_dir, "window_bucket=*")):
+        key = str(int(os.path.basename(leaf).split("=", 1)[1]))
+        n = 0
+        for p in _glob.glob(os.path.join(leaf, "*.parquet")):
+            n += _pq.ParquetFile(p).metadata.num_rows
+        if n:
+            counts[key] = n
+    return counts
 
 
 def _state_leaf_dirs(state_dir: str, sub: str, buckets: "list") -> "list[str]":
@@ -894,26 +912,43 @@ def run_incremental_routed(
         )
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # ONE parse/enrich pass over the batch input: everything else in
-        # this function (unit partials, conv-start partials, epoch stats)
-        # derives from the just-written spill — batch-sized, page-cache-
-        # warm re-reads instead of re-running the parse chain per artifact
-        prepared = _prepared_batch(batch_df, cfg)
-        prepared.withColumn("window_bucket", _bucket_expr(cfg)).write.mode(
-            "overwrite"
-        ).partitionBy("window_bucket").parquet(
-            f"{state_dir}/spill/batch_id={batch_id}"
-        )
+        # ONE parse/enrich pass over the batch input, with the epoch stats
+        # (row total + event-time high watermark) observed ON the spill
+        # write itself and the per-bucket row counts read from the written
+        # parquet FOOTERS driver-side — the former separate
+        # groupBy(bucket).collect() job re-read and re-aggregated the
+        # whole batch purely for bookkeeping (guide §1: don't compute
+        # things twice). The unit partials still derive from the written
+        # spill (page-cache-warm re-read; an in-memory persist of the
+        # parsed batch was measured SLOWER than the parquet round-trip).
+        from pyspark.sql import Observation
+
         from trace_aware_reservoir_otel_spark.plans.pipeline import (
             _unit_pre_aggregate,
         )
 
-        try:
-            spill_df = spark.read.parquet(f"{state_dir}/spill/batch_id={batch_id}")
-        except AnalysisException:
-            # an empty micro-batch's partitioned write emits no data files
-            spill_df = None
-        if spill_df is not None:
+        prepared = _prepared_batch(batch_df, cfg)
+        obs = Observation(f"spill_{batch_id}")
+        (
+            prepared.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.unix_timestamp("ts")).alias("mx"),
+            )
+            .withColumn("window_bucket", _bucket_expr(cfg))
+            .write.mode("overwrite")
+            .partitionBy("window_bucket")
+            .parquet(f"{state_dir}/spill/batch_id={batch_id}")
+        )
+        vals = obs.get
+        counts = _bucket_counts_from_footers(
+            f"{state_dir}/spill/batch_id={batch_id}"
+        )
+        mx = vals["mx"] if int(vals["n"] or 0) > 0 else None
+        if counts:
+            spill_df = spark.read.parquet(
+                f"{state_dir}/spill/batch_id={batch_id}"
+            )
             valid = spill_df.filter(
                 F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
             )
@@ -931,18 +966,6 @@ def run_incremental_routed(
                 )
                 if n_partials > convstart_compact_threshold:
                     compact_conv_starts(spark, state_dir)
-            stats = (
-                spill_df.groupBy("window_bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.max(F.unix_timestamp("ts")).alias("mx"),
-                )
-                .collect()
-            )
-        else:
-            stats = []
-        counts = {str(int(r["window_bucket"])): int(r["n"]) for r in stats}
-        mx = max((r["mx"] for r in stats if r["mx"] is not None), default=None)
         fsutil.upsert_jsonl_atomic(
             _epoch_path(state_dir),
             {
