@@ -29,6 +29,12 @@ def get_spark(
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # scan-parallelism floor: a byte-packed table a few multiples of
+        # maxPartitionBytes wide otherwise scans on a fraction of the
+        # cores (sf1.0 lineitem: 8 splits on 32 cores). At real scale
+        # scans exceed the core count and the floor is a no-op — the same
+        # guard rationale as operators.dedup.scale_out.
+        .config("spark.sql.files.minPartitionNum", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -37,7 +43,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # broadcast decisions: the STATIC planner sees only size estimates
+        # (file size x column-pruning ratio), which at sf1.0 made it
+        # broadcast-build multi-million-row fact sides (lineitem in the Q3
+        # shape, orders in Q5 — measured 3-4s of driver hash-relation
+        # build per query). Keep the static threshold small so estimates
+        # can only pick truly tiny sides, and let AQE convert sort-merge
+        # to broadcast from RUNTIME shuffle sizes, where 64 MB is safe.
+        # Library operators that know a side is small keep their explicit
+        # F.broadcast hints, which ignore both thresholds.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(4 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         # HotSpot refuses to JIT methods over ~8000 bytecodes
         # (DontCompileHugeMethods default on): whole-stage-codegen'd wide
         # expressions — the unrolled fixed-dim vector math in
