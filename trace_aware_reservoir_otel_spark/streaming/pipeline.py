@@ -599,6 +599,33 @@ def compact_conv_starts(spark: SparkSession, state_dir: str) -> int:
     return len(batch_dirs)
 
 
+_BATCH_TASK_BYTES = 1 << 20  # parse/enrich amplify CPU ~10x per input byte
+
+
+def _scale_batch(batch_df: DataFrame) -> DataFrame:
+    """Adaptive micro-batch parallelism: a file-stream batch arrives with
+    ~bytes/maxPartitionBytes scan partitions, so a LARGE batch parses and
+    spills on a couple of cores (measured: an 1.8M-row batch wrote in
+    7.4s on its 2 scan partitions vs 4.0s round-robined) while a small
+    batch gains nothing from a shuffle and only fragments its spill files
+    (measured: blanket repartition was a net loss). Size the target from
+    the batch's actual input bytes — ~1 MB of raw input per task, capped
+    at the session's parallelism — and repartition only when that exceeds
+    the scan's own split count."""
+    sc = batch_df.sparkSession.sparkContext
+    try:
+        total = 0
+        for uri in batch_df.inputFiles():
+            p = uri[len("file://"):] if uri.startswith("file://") else uri
+            total += os.path.getsize(p)
+    except Exception:  # non-file source / inaccessible paths: leave as-is
+        return batch_df
+    target = min(sc.defaultParallelism, max(1, int(total // _BATCH_TASK_BYTES)))
+    if target > batch_df.rdd.getNumPartitions():
+        return batch_df.repartition(target)
+    return batch_df
+
+
 def _prepared_batch(batch_df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     from trace_aware_reservoir_otel_spark.functions.parse import with_parsed_fields
     from trace_aware_reservoir_otel_spark.operators.enrich import enrich
@@ -927,7 +954,7 @@ def run_incremental_routed(
             _unit_pre_aggregate,
         )
 
-        prepared = _prepared_batch(batch_df, cfg)
+        prepared = _prepared_batch(_scale_batch(batch_df), cfg)
         obs = Observation(f"spill_{batch_id}")
         (
             prepared.observe(
