@@ -212,6 +212,33 @@ def test_top_quality_rank_window_input_is_prefiltered(spark):
     assert out == sorted(expected)
 
 
+def test_null_source_rows_survive_the_prefilter(spark):
+    """A NULL source is a legitimate window partition (windows group nulls
+    together); the prefilter's threshold join must be null-safe or those
+    rows silently vanish."""
+    rows = [(1, None, 5), (2, None, 4), (3, "s", 7)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q long")
+    got = {
+        (r.source, r.doc_id, r.q_rank)
+        for r in top_quality_per_source(df, F.col("q"), 1, 2).collect()
+    }
+    # null source: 2 rows -> keep ceil(2/2)=1 (q=5, id 1); source s: 1 row
+    assert got == {(None, 1, 1), ("s", 3, 1)}
+
+    mix = token_budget_mix(
+        spark.createDataFrame(
+            [(1, None, "w w w"), (2, "s", "w w")],
+            "doc_id long, source string, text string",
+        ),
+        budget_col=F.lit(100),
+        tokens_col=F.size(F.split(F.trim("text"), r"\s+")),
+    )
+    assert {(r.source, r.doc_id) for r in mix.collect()} == {
+        (None, 1),
+        ("s", 2),
+    }
+
+
 def test_token_budget_mix_window_input_is_prefiltered(spark):
     """Same guard for the budget mix: provably-unselected priority buckets
     never reach the running-sum window, and the selection is unchanged."""

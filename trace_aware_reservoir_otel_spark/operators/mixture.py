@@ -88,10 +88,16 @@ def _prefix_prefilter(
     thr = s2.filter(F.col("_before") < F.col("_lim")).groupBy("source").agg(
         F.min("_pfb").alias("_pf_thr"), F.max("_tot").alias("_pf_tot")
     )
+    # null-safe join: a NULL source is a legitimate window partition in the
+    # exact operators (windows group nulls together), so the threshold
+    # lookup must not drop it the way an equi-join would
+    thr = thr.withColumnRenamed("source", "_pf_src")
     out = (
-        tagged.join(F.broadcast(thr), on="source")
+        tagged.join(
+            F.broadcast(thr), F.col("source").eqNullSafe(F.col("_pf_src"))
+        )
         .filter(F.col("_pfb") >= F.col("_pf_thr"))
-        .drop("_pfb", "_pf_thr")
+        .drop("_pfb", "_pf_thr", "_pf_src")
     )
     if carry_total is not None:
         out = out.withColumn(carry_total, F.col("_pf_tot"))
