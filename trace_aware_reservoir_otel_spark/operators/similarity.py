@@ -971,6 +971,9 @@ def semdedup_pairs(
             + F.col(f"_s{k}a") * F.col(f"_s{k}b")
         ) >= slack
         band_ok = ok if band_ok is None else (band_ok & ok)
+    # (An interpreted-fold dot here was measured WORSE than the unrolled
+    # codegen form despite the latter's per-fresh-plan compile cost —
+    # both variants recorded in OPTIMIZATION_r06.md.)
     raw = dot_fixed("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
     # the exact math runs only on band survivors, and in two further
     # stages: the raw dot (pinned out of the join via _pin so it cannot
